@@ -1,0 +1,124 @@
+"""Unit tests for the quadrotor model (SURVEY.md section 7 step 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crazyflie_nmpc_tpu.models import (
+    NX,
+    NU,
+    QuadrotorParams,
+    dynamics,
+    hover_control,
+    hover_state,
+    rotations,
+)
+
+
+@pytest.fixture
+def params():
+    return QuadrotorParams()
+
+
+def random_state(key, scale=1.0):
+    kx, kq = jax.random.split(key)
+    x = scale * jax.random.normal(kx, (NX,))
+    q = rotations.quat_normalize(jax.random.normal(kq, (4,)))
+    return x.at[3:7].set(q)
+
+
+def test_hover_equilibrium(params):
+    """xdot = 0 at the hover point with u = hov_w ~ 15.7777 kRPM."""
+    x = hover_state(params, pos=(0.1, -0.2, 0.5))
+    u = hover_control(params)
+    np.testing.assert_allclose(float(params.hover_speed()), 15.7777, atol=1e-3)
+    xdot = dynamics(params, x, u)
+    np.testing.assert_allclose(np.asarray(xdot), np.zeros(NX), atol=1e-10)
+
+
+def test_freefall_gravity(params):
+    """Zero thrust at identity attitude: only dvbz = -g is nonzero."""
+    x = hover_state(params)
+    u = jnp.zeros(NU)
+    xdot = dynamics(params, x, u)
+    np.testing.assert_allclose(float(xdot[9]), -float(params.g0), rtol=1e-12)
+    mask = np.ones(NX, bool)
+    mask[9] = False
+    np.testing.assert_allclose(np.asarray(xdot)[mask], 0.0, atol=1e-12)
+
+
+def test_quaternion_norm_invariant(params):
+    """d/dt |q|^2 = 2 q . qdot = 0 for the quaternion kinematics."""
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        x = random_state(jax.random.fold_in(key, i))
+        u = jax.random.uniform(jax.random.fold_in(key, 100 + i), (NU,), maxval=22.0)
+        xdot = dynamics(params, x, u)
+        dot = jnp.vdot(x[3:7], xdot[3:7])
+        assert abs(float(dot)) < 1e-12
+
+
+def test_yaw_torque_sign(params):
+    """Rotors 1 and 3 spinning faster than 2 and 4 yields negative yaw accel
+    (reference mixing: dwz = -(Cd (w1^2 - w2^2 + w3^2 - w4^2) ...)/Izz)."""
+    x = hover_state(params)
+    u = jnp.array([16.0, 15.0, 16.0, 15.0])
+    xdot = dynamics(params, x, u)
+    assert float(xdot[12]) < 0.0
+
+
+def test_roll_pitch_torque_mixing(params):
+    """X-config mixing: w1,w2 fast / w3,w4 slow -> negative roll accel;
+    w1,w4 fast / w2,w3 slow -> negative pitch accel."""
+    x = hover_state(params)
+    xdot = dynamics(params, x, jnp.array([16.0, 16.0, 15.0, 15.0]))
+    assert float(xdot[10]) < 0.0
+    xdot = dynamics(params, x, jnp.array([16.0, 15.0, 15.0, 16.0]))
+    assert float(xdot[11]) < 0.0
+
+
+def test_batched_params_and_states(params):
+    """vmap over both states and perturbed physical params (Monte-Carlo axis)."""
+    B = 7
+    key = jax.random.PRNGKey(1)
+    xs = jnp.stack([random_state(jax.random.fold_in(key, i)) for i in range(B)])
+    us = jax.random.uniform(key, (B, NU), maxval=22.0)
+    masses = 33e-3 * (1.0 + 0.1 * jax.random.normal(key, (B,)))
+    batched = QuadrotorParams(mq=masses)
+    out = jax.vmap(lambda m, x, u: dynamics(QuadrotorParams(mq=m), x, u))(
+        masses, xs, us)
+    out2 = jax.vmap(dynamics, in_axes=(
+        QuadrotorParams(g0=None, mq=0, Ixx=None, Iyy=None, Izz=None,
+                        Cd=None, Ct=None, l=None), 0, 0))(batched, xs, us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-12)
+    assert out.shape == (B, NX)
+
+
+def test_rotation_roundtrip():
+    """quat -> euler -> quat roundtrip (within quaternion double cover)."""
+    key = jax.random.PRNGKey(2)
+    q = rotations.quat_canonicalize(
+        rotations.quat_normalize(jax.random.normal(key, (16, 4))))
+    q2 = rotations.euler_to_quat(rotations.quat_to_euler(q))
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=1e-9)
+
+
+def test_rotmat_orthonormal():
+    key = jax.random.PRNGKey(3)
+    q = rotations.quat_normalize(jax.random.normal(key, (8, 4)))
+    R = rotations.rotmat_earth_to_body(q)
+    eye = jnp.broadcast_to(jnp.eye(3), (8, 3, 3))
+    np.testing.assert_allclose(
+        np.asarray(R @ jnp.swapaxes(R, -1, -2)), np.asarray(eye), atol=1e-12)
+
+
+def test_rotation_consistency_with_dynamics(params):
+    """Position kinematics in `dynamics` equals R_body_to_earth @ v_b."""
+    key = jax.random.PRNGKey(4)
+    x = random_state(key)
+    u = jnp.zeros(NU)
+    xdot = dynamics(params, x, u)
+    v_earth = rotations.rotmat_body_to_earth(x[3:7]) @ x[7:10]
+    np.testing.assert_allclose(np.asarray(xdot[:3]), np.asarray(v_earth),
+                               atol=1e-12)
