@@ -1,0 +1,123 @@
+"""OCP specification: dims, cost, bounds — the reference problem as data.
+
+Replaces the reference's codegen-time problem description
+(crazyflie_controller/scripts/crazyflie_full_model/generate_c_code.py:36-147):
+instead of rendering C sources, the spec is a pytree consumed by traced JAX
+functions.  `default_ocp()` reproduces the exact reference problem: N=50,
+Tf=0.75 s, W=blkdiag(Q,R) with the reference diagonals, W_e=50Q, input box
+[0, 22] kRPM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crazyflie_nmpc_tpu.models.quadrotor import (
+    NU,
+    NX,
+    NY,
+    QuadrotorParams,
+    W_MAX_KRPM,
+    W_MIN_KRPM,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CostSpec:
+    """Linear-least-squares tracking cost |Vx x + Vu u - yref|^2_W.
+
+    Mirrors acados' LINEAR_LS cost module configured in
+    generate_c_code.py:62-129 (W, Vx, Vu, W_e, Vx_e).
+    """
+
+    W: Any     # (ny, ny)
+    Vx: Any    # (ny, nx)
+    Vu: Any    # (ny, nu)
+    W_e: Any   # (nx_e, nx_e)
+    Vx_e: Any  # (nx_e, nx)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OCPSpec:
+    """Full optimal-control-problem spec for the RTI solver.
+
+    N and sim_steps are static (shape-determining); everything else is traced
+    data, so weights/bounds/params can be changed at runtime without
+    recompilation — the capability the reference *intended* with its
+    dynamic_reconfigure weight panel but compiled out (SET_WEIGHTS=0,
+    acados_mpc.cpp:110,596-602).
+    """
+
+    params: QuadrotorParams
+    cost: CostSpec
+    lbu: Any   # (nu,) absolute lower input bound [kRPM]
+    ubu: Any   # (nu,) absolute upper input bound [kRPM]
+    tf: Any    # horizon length [s]
+    N: int = dataclasses.field(default=50, metadata=dict(static=True))
+    sim_steps: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def dt(self):
+        return self.tf / self.N
+
+
+# Reference stage weight diagonals (generate_c_code.py:62-84).
+Q_DIAG_REF = np.array([120.0, 100.0, 100.0,          # position
+                       1e-3, 1e-3, 1e-3, 1e-3,        # quaternion
+                       7e-1, 1.0, 4.0,                 # body velocity
+                       1e-5, 1e-5, 10.0])              # body rates
+R_DIAG_REF = np.array([0.06, 0.06, 0.06, 0.06])       # rotor speeds
+WN_FACTOR_REF = 50.0                                   # W_e = 50 Q (:109)
+
+
+def default_cost(q_diag=Q_DIAG_REF, r_diag=R_DIAG_REF,
+                 terminal_factor=WN_FACTOR_REF, dtype=jnp.float32) -> CostSpec:
+    """The reference cost: W = blkdiag(Q, R), W_e = 50 Q, selector Vx/Vu."""
+    q_diag = jnp.asarray(q_diag, dtype)
+    r_diag = jnp.asarray(r_diag, dtype)
+    W = jnp.diag(jnp.concatenate([q_diag, r_diag]))
+    Vx = jnp.zeros((NY, NX), dtype).at[:NX, :].set(jnp.eye(NX, dtype=dtype))
+    Vu = jnp.zeros((NY, NU), dtype).at[NX:, :].set(jnp.eye(NU, dtype=dtype))
+    W_e = jnp.diag(terminal_factor * q_diag)
+    Vx_e = jnp.eye(NX, dtype=dtype)
+    return CostSpec(W=W, Vx=Vx, Vu=Vu, W_e=W_e, Vx_e=Vx_e)
+
+
+def default_ocp(params: QuadrotorParams | None = None, N: int = 50,
+                tf: float = 0.75, sim_steps: int = 1,
+                dtype=jnp.float32) -> OCPSpec:
+    """The exact reference OCP (generate_c_code.py:41-147)."""
+    params = params or QuadrotorParams()
+    return OCPSpec(
+        params=params,
+        cost=default_cost(dtype=dtype),
+        lbu=jnp.full((NU,), W_MIN_KRPM, dtype),
+        ubu=jnp.full((NU,), W_MAX_KRPM, dtype),
+        tf=jnp.asarray(tf, dtype),
+        N=N,
+        sim_steps=sim_steps,
+    )
+
+
+def hover_yref(spec: OCPSpec, pos=(0.0, 0.0, 0.5)):
+    """Regulation reference: hover at `pos` with identity attitude and
+    steady-state rotor speed (generate_c_code.py:128-129; the Regulation
+    policy fill, acados_mpc.cpp:432-456).
+
+    Returns (yref (N, 17), yref_e (13,)).
+    """
+    dtype = spec.lbu.dtype
+    uss = spec.params.hover_speed()
+    y = jnp.zeros((NY,), dtype)
+    y = y.at[0].set(pos[0]).at[1].set(pos[1]).at[2].set(pos[2])
+    y = y.at[3].set(1.0)
+    y = y.at[NX:].set(uss)
+    yref = jnp.broadcast_to(y, (spec.N, NY))
+    return yref, y[:NX]

@@ -1,0 +1,125 @@
+"""Real-time-iteration SQP: one prepare+feedback Gauss-Newton step.
+
+The TPU-native equivalent of the reference's per-tick `acados_solve()`
+(acados_mpc.cpp:611, solver type SQP_RTI, generate_c_code.py:146): a single
+Gauss-Newton SQP iteration per control period, warm-started from the
+previous solution.  acados keeps the primal iterate implicitly inside
+`nlp_out` across calls (SURVEY.md section 5, checkpoint/resume); here that
+carried state is explicit and functional:
+
+    (RTIState, x0, yref) -> (RTIState', RTIOutput)
+
+so it jit/vmap/scan-composes, checkpoints trivially (it's just arrays), and
+batches across drones/scenarios.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from crazyflie_nmpc_tpu.models.quadrotor import NU, NX, dynamics
+from crazyflie_nmpc_tpu.ops import ipm
+from crazyflie_nmpc_tpu.ops.integrators import linearize_trajectory, rollout
+from crazyflie_nmpc_tpu.ops.qp import build_qp, gauss_newton_cost_blocks
+from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RTIState:
+    """Warm-start iterate carried across RTI calls (primal trajectory)."""
+
+    x_traj: Any  # (N+1, nx)
+    u_traj: Any  # (N, nu)
+
+
+class RTIOutput(NamedTuple):
+    """Per-solve outputs mirroring the reference's extraction
+    (acados_mpc.cpp:614-625): stage-0/1 controls, stage-4 state for 60 ms
+    delay compensation, the full open-loop plan, and solver diagnostics."""
+
+    u0: Any       # (nu,) first control
+    u1: Any       # (nu,) second control (delay-compensated command)
+    x_plan: Any   # (N+1, nx) open-loop state plan
+    u_plan: Any   # (N, nu) open-loop control plan
+    kkt_res: Any  # scalar: residual diagnostic (cf. nlp_out->inf_norm_res)
+    qp_mu: Any    # scalar: final IPM complementarity gap
+
+    def x_at(self, stage: int):
+        """Predicted state `stage` steps ahead (stage 4 = +60 ms at 15 ms)."""
+        return self.x_plan[stage]
+
+
+def init_rti(spec: OCPSpec, x0: jax.Array) -> RTIState:
+    """Initialize the warm start: hover-input rollout from x0.
+
+    The reference leaves nlp_out zero-initialized and lets early RTI steps
+    pull it in; a hover rollout is a strictly better-conditioned start and
+    converges to the same fixed point (tested in test_rti.py).
+    """
+    uss = spec.params.hover_speed().astype(x0.dtype)
+    u_traj = jnp.full((spec.N, NU), uss, x0.dtype)
+    x_traj = rollout(dynamics, spec.params, x0, u_traj, spec.dt,
+                     spec.sim_steps)
+    return RTIState(x_traj=x_traj, u_traj=u_traj)
+
+
+def rti_step(spec: OCPSpec, state: RTIState, x0: jax.Array,
+             yref: jax.Array, yref_e: jax.Array,
+             config: ipm.IPMConfig = ipm.IPMConfig()):
+    """One SQP-RTI iteration: linearize at the iterate, solve the QP, take a
+    full Newton-type step.
+
+    Args:
+      x0: (nx,) current state estimate (becomes the lbx0=ubx0 equality).
+      yref: (N, ny) stage references; yref_e: (nx,) terminal reference.
+    Returns (RTIState', RTIOutput).
+    """
+    # --- preparation phase: stage-parallel linearization (vmap over stages)
+    x_next, A, B = linearize_trajectory(
+        dynamics, spec.params, state.x_traj, state.u_traj, spec.dt,
+        spec.sim_steps)
+
+    cost = spec.cost
+    blocks = gauss_newton_cost_blocks(
+        cost.W, cost.Vx, cost.Vu, cost.W_e, cost.Vx_e,
+        state.x_traj, state.u_traj, yref, yref_e)
+
+    qp = build_qp(A, B, x_next, state.x_traj, state.u_traj, x0,
+                  spec.lbu, spec.ubu, blocks)
+
+    # --- feedback phase: structured IPM solve + full-step update
+    sol = ipm.solve(qp, config)
+    x_traj = state.x_traj + sol.dx
+    u_traj = state.u_traj + sol.du
+
+    new_state = RTIState(x_traj=x_traj, u_traj=u_traj)
+    out = RTIOutput(
+        u0=u_traj[0],
+        u1=u_traj[1],
+        x_plan=x_traj,
+        u_plan=u_traj,
+        kkt_res=jnp.maximum(sol.stats["res_stat"], sol.stats["res_eq"]),
+        qp_mu=sol.stats["mu"],
+    )
+    return new_state, out
+
+
+def sqp_solve(spec: OCPSpec, state: RTIState, x0, yref, yref_e,
+              iters: int = 10, config: ipm.IPMConfig = ipm.IPMConfig()):
+    """Full SQP: iterate rti_step to convergence on a fixed problem.
+
+    The reference exposes this as the commented-out 'SQP' solver option
+    (generate_c_code.py:147); used in tests as the converged-NLP ground
+    truth that RTI tracks.
+    """
+    def body(st, _):
+        st, out = rti_step(spec, st, x0, yref, yref_e, config)
+        return st, out.kkt_res
+
+    state, kkts = jax.lax.scan(body, state, None, length=iters)
+    return state, kkts
