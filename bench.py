@@ -1,0 +1,101 @@
+"""Benchmark: NMPC solves/s/chip at the reference problem size (N=50).
+
+Prints ONE JSON line:
+  {"metric": "nmpc_solves_per_s_n50", "value": ..., "unit": "solves/s",
+   "vs_baseline": value / 10000}
+(vs_baseline is against the BASELINE.json target of >= 10k solves/s/chip.)
+
+Each "solve" is a full SQP-RTI iteration on the 13-state/4-input Crazyflie
+OCP with N=50 shooting intervals: ERK4 linearization with forward
+sensitivities at all 50 stages, Gauss-Newton QP assembly, and an 8-iteration
+Mehrotra interior-point solve (Riccati-factorized), i.e. the same work the
+reference's acados_solve() does per control tick (acados_mpc.cpp:611).
+Secondary diagnostics (per-batch throughput sweep, single-solve latency)
+go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.ops import ipm
+    from crazyflie_nmpc_tpu.solver import (
+        default_ocp,
+        hover_yref,
+        init_rti,
+        rti_step,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    spec = default_ocp(N=50, dtype=jnp.float32)
+    cfg = ipm.IPMConfig(iters=8)
+    yref, yref_e = hover_yref(spec)
+
+    def make_batch(B):
+        key = jax.random.PRNGKey(0)
+        x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+               + 0.05 * jax.random.normal(key, (B, 13), jnp.float32))
+        states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+        return states, x0s
+
+    @jax.jit
+    def step(states, x0s):
+        new_states, outs = jax.vmap(
+            lambda s, x: rti_step(spec, s, x, yref, yref_e, cfg)
+        )(states, x0s)
+        return new_states, outs.u0
+
+    best = 0.0
+    sweep = [256, 1024, 4096] if dev.platform != "cpu" else [64]
+    for B in sweep:
+        states, x0s = make_batch(B)
+        t0 = time.perf_counter()
+        states, u0 = step(states, x0s)
+        jax.block_until_ready(u0)
+        log(f"B={B}: compile+first {time.perf_counter() - t0:.2f}s")
+        # steady state timing
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            states, u0 = step(states, x0s)
+        jax.block_until_ready(u0)
+        dt = (time.perf_counter() - t0) / reps
+        rate = B / dt
+        log(f"B={B}: {dt * 1e3:.2f} ms/step -> {rate:,.0f} solves/s")
+        best = max(best, rate)
+
+    # single-solve latency (p50/p99)
+    states, x0s = make_batch(1)
+    lat = []
+    step(states, x0s)  # warm
+    for _ in range(50):
+        t0 = time.perf_counter()
+        s2, u0 = step(states, x0s)
+        jax.block_until_ready(u0)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    log(f"single-solve latency p50={lat[25] * 1e3:.3f} ms "
+        f"p99={lat[-1] * 1e3:.3f} ms (budget: 15 ms, target < 10 ms)")
+
+    print(json.dumps({
+        "metric": "nmpc_solves_per_s_n50",
+        "value": round(best, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(best / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

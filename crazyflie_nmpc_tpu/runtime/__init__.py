@@ -1,0 +1,7 @@
+from crazyflie_nmpc_tpu.runtime.closed_loop import (  # noqa: F401
+    LoopConfig,
+    LoopResult,
+    hover_regulation,
+    simulate,
+    trajectory_tracking,
+)

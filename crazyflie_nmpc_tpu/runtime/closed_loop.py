@@ -1,0 +1,142 @@
+"""Closed-loop NMPC simulation: plant + policy + RTI controller in one scan.
+
+The pure-software equivalent of the reference's hardware loop (SURVEY.md
+section 4): the plant is the same ERK4 model the estimator's sim solver uses
+(estimator and plant share the ODE, so the closed loop is well-defined), the
+controller is `solver.rti.rti_step` at the 66.6 Hz tick, and delay
+compensation mirrors the reference's pipeline — the state fed to the NMPC is
+propagated `delay_steps` stages ahead under the last command
+(acados_estimator.cpp:573-593), and the applied command is the stage-1
+control u1 (acados_mpc.cpp:619-670 with FIXED_U0=0 publishing u0; the
+delay-compensating configuration applies u1).
+
+Everything is one `lax.scan`, so a 20 s flight jit-compiles once and a
+swarm/Monte-Carlo run is a `vmap` over this function (BASELINE.json
+configs 1-4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from crazyflie_nmpc_tpu.models.quadrotor import NU, NX, dynamics
+from crazyflie_nmpc_tpu.ops import ipm
+from crazyflie_nmpc_tpu.ops.integrators import integrate
+from crazyflie_nmpc_tpu.solver import policies as policies_mod
+from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
+from crazyflie_nmpc_tpu.solver.rti import RTIState, init_rti, rti_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Static closed-loop configuration.
+
+    delay_steps: round-trip delay in control periods (reference default:
+      60 ms / 15 ms = 4, acados_predictor.launch:62).  0 = ideal loop
+      applying u0 with no prediction.
+    plant_substeps: RK4 substeps for the simulated plant per tick (>= the
+      controller's 1 for a finer 'true' plant).
+    """
+
+    delay_steps: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
+    plant_substeps: int = dataclasses.field(default=1,
+                                            metadata=dict(static=True))
+    ipm: ipm.IPMConfig = dataclasses.field(default_factory=ipm.IPMConfig)
+
+
+class LoopResult(NamedTuple):
+    x: Any          # (T, nx) true plant states at each tick
+    u: Any          # (T, nu) controls applied during [t, t+1)
+    u_cmd: Any      # (T, nu) controls commanded at each tick
+    kkt_res: Any    # (T,) solver residual per tick
+    policy_mode: Any  # (T,) policy mode per tick
+
+
+def simulate(spec: OCPSpec, x_init: jax.Array,
+             policy_state: policies_mod.PolicyState,
+             traj_table: jax.Array, steps: int,
+             config: LoopConfig = LoopConfig()) -> LoopResult:
+    """Run `steps` ticks of the closed loop from `x_init`.
+
+    With delay_steps = d > 0 the actuation path is modelled as a d-tick
+    pipeline: the command issued at tick t reaches the rotors at tick t+d.
+    The controller compensates exactly like the reference: it integrates the
+    measured state d stages forward under the pending commands, solves from
+    that predicted state, and emits u_d... pattern collapsed to the
+    reference's 'predict by T=delay under the last applied control, then
+    take u1' for d = 1-step actuation lag + measurement lag.
+    """
+    d = config.delay_steps
+    uss = spec.params.hover_speed().astype(x_init.dtype)
+
+    rti0 = init_rti(spec, x_init)
+    # pending command pipeline: commands in flight (oldest first)
+    u_pipe0 = jnp.full((max(d, 1), NU), uss, x_init.dtype)
+
+    def tick(carry, _):
+        x_plant, rti_state, pol_state, u_pipe = carry
+
+        # --- reference generation (policy machine)
+        yref, yref_e, pol_next = policies_mod.make_yref(
+            spec, pol_state, traj_table)
+
+        # --- delay-compensating state prediction (estimator predictor):
+        # propagate the measurement forward by the round-trip delay under
+        # the commands already in flight (acados_estimator.cpp:573-593).
+        def predict(x):
+            def body(xc, u_k):
+                return integrate(dynamics, spec.params, xc, u_k, spec.dt,
+                                 spec.sim_steps), None
+            xp, _ = jax.lax.scan(body, x, u_pipe[:d]) if d > 0 else (x, None)
+            return xp
+
+        x_pred = predict(x_plant)
+
+        # --- RTI solve from the predicted state
+        rti_state, out = rti_step(spec, rti_state, x_pred, yref, yref_e,
+                                  config.ipm)
+        u_cmd = out.u0
+
+        # --- actuation: with delay, the plant runs the oldest pending
+        # command while the new one enters the pipe.
+        if d > 0:
+            u_apply = u_pipe[0]
+            u_pipe = jnp.concatenate([u_pipe[1:d], u_cmd[None]], axis=0)
+        else:
+            u_apply = u_cmd
+
+        # --- plant step (finer substepping than the controller model)
+        x_next = integrate(dynamics, spec.params, x_plant, u_apply, spec.dt,
+                           config.plant_substeps)
+
+        carry = (x_next, rti_state, pol_next, u_pipe)
+        outs = (x_plant, u_apply, u_cmd, out.kkt_res, pol_state.mode)
+        return carry, outs
+
+    carry0 = (x_init, rti0, policy_state, u_pipe0)
+    _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
+        tick, carry0, None, length=steps)
+    return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
+                      policy_mode=modes)
+
+
+def hover_regulation(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
+                     steps=1320, config: LoopConfig = LoopConfig()):
+    """BASELINE config 1: hover regulation closed loop (20 s at 66.6 Hz)."""
+    pol = policies_mod.regulation_state(setpoint)
+    dummy_table = jnp.zeros((1, NX + NU), x_init.dtype)
+    return simulate(spec, x_init, pol, dummy_table, steps, config)
+
+
+def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
+                        config: LoopConfig = LoopConfig()):
+    """BASELINE config 2: precomputed-trajectory tracking (helix etc.)."""
+    pol = policies_mod.tracking_state()
+    steps = steps or traj_table.shape[0]
+    return simulate(spec, x_init, pol, traj_table, steps, config)

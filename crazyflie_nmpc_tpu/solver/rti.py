@@ -97,13 +97,21 @@ def rti_step(spec: OCPSpec, state: RTIState, x0: jax.Array,
     x_traj = state.x_traj + sol.dx
     u_traj = state.u_traj + sol.du
 
+    # NLP-level residual (cf. acados nlp_out->inf_norm_res,
+    # acados_mpc.cpp:614-616): nonlinear dynamics infeasibility at the
+    # linearization point plus the Newton step norm — both vanish exactly at
+    # an NLP KKT point, so repeated RTI steps report contraction.
+    res_nl = jnp.maximum(jnp.max(jnp.abs(qp.c)), jnp.max(jnp.abs(qp.dx0)))
+    step_norm = jnp.maximum(jnp.max(jnp.abs(sol.du)),
+                            jnp.max(jnp.abs(sol.dx)))
+
     new_state = RTIState(x_traj=x_traj, u_traj=u_traj)
     out = RTIOutput(
         u0=u_traj[0],
         u1=u_traj[1],
         x_plan=x_traj,
         u_plan=u_traj,
-        kkt_res=jnp.maximum(sol.stats["res_stat"], sol.stats["res_eq"]),
+        kkt_res=jnp.maximum(res_nl, step_norm),
         qp_mu=sol.stats["mu"],
     )
     return new_state, out

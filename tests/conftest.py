@@ -1,14 +1,18 @@
 """Test configuration: run on CPU with a virtual 8-device mesh and f64.
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to expose 8 virtual devices (the standard XLA trick); numerics tests
-use float64 so golden comparisons are not precision-limited.  These env vars
-must be set before jax initializes its backends, hence module scope here.
+platform to expose 8 virtual devices (the standard XLA trick); numerics
+tests use float64 so golden comparisons are not precision-limited.
+
+NOTE: this environment's sitecustomize registers a TPU plugin and overrides
+`jax_platforms` at interpreter start, so the JAX_PLATFORMS env var alone is
+NOT sufficient — the config must be re-set after importing jax (env-var-only
+selection silently left the whole suite running f64-emulated on the TPU).
+XLA_FLAGS must still be set before the first backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,9 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA compiles dominate test wall-time on small
 # hosts; cache across runs so only changed computations recompile.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-CPU-device mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from crazyflie_nmpc_tpu.models import NX, NU, hover_state
+from crazyflie_nmpc_tpu.ops import ipm
+from crazyflie_nmpc_tpu.parallel import (
+    BATCH_AXIS,
+    STAGE_AXIS,
+    batch_sharded_rti,
+    make_mesh,
+    stage_sharded_rti_step,
+)
+from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti, rti_step
+
+CFG = ipm.IPMConfig(iters=10)
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_batch_sharded_rti_matches_local():
+    spec = default_ocp(N=8, dtype=jnp.float64)
+    mesh = make_mesh(batch=8, stage=1)
+    yref, yref_e = hover_yref(spec)
+    B = 16
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.stack([
+        hover_state(spec.params) + 0.05 * jax.random.normal(
+            jax.random.fold_in(key, i), (NX,)) for i in range(B)])
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    yrefs = jnp.broadcast_to(yref, (B,) + yref.shape)
+    yref_es = jnp.broadcast_to(yref_e, (B,) + yref_e.shape)
+
+    step = batch_sharded_rti(spec, mesh, CFG)
+    new_states, outs = step(states, x0s, yrefs, yref_es)
+
+    # reference: per-element local solve
+    for i in range(0, B, 5):
+        si = jax.tree.map(lambda a: a[i], states)
+        _, oi = rti_step(spec, si, x0s[i], yref, yref_e, CFG)
+        np.testing.assert_allclose(np.asarray(outs.u0[i]),
+                                   np.asarray(oi.u0), rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("n_stage,block", [(2, 2), (4, 2)])
+def test_stage_sharded_rti_matches_local(n_stage, block):
+    """Stage-sharded condensed RTI step == plain single-device RTI step."""
+    from jax import shard_map
+
+    spec = default_ocp(N=8, dtype=jnp.float64)
+    mesh = make_mesh(batch=1, stage=n_stage)
+    x0 = hover_state(spec.params, pos=(0.1, -0.05, 0.3))
+    yref, yref_e = hover_yref(spec)
+    state = init_rti(spec, x0)
+
+    fn = shard_map(
+        lambda s, x, yr, ye: stage_sharded_rti_step(
+            spec, mesh, block, s, x, yr, ye, CFG),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    new_state, out = jax.jit(fn)(state, x0, yref, yref_e)
+
+    ref_state, ref_out = rti_step(spec, state, x0, yref, yref_e, CFG)
+    np.testing.assert_allclose(np.asarray(new_state.u_traj),
+                               np.asarray(ref_state.u_traj),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(new_state.x_traj),
+                               np.asarray(ref_state.x_traj),
+                               rtol=1e-8, atol=1e-9)
