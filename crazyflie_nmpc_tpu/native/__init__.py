@@ -1,0 +1,19 @@
+"""Native (C++) runtime: CRTP codec + lock-free rings + link server.
+
+Builds lazily with g++ on first use (no external deps); the shared library
+lands next to this file.  See src/*.cc for the design notes and reference
+citations.
+"""
+
+from crazyflie_nmpc_tpu.native.bindings import (  # noqa: F401
+    LinkServer,
+    build_library,
+    decode_full_state,
+    decode_setpoint,
+    encode_full_state,
+    encode_log_data,
+    encode_setpoint,
+    load_library,
+    quat_compress,
+    quat_decompress,
+)
