@@ -1,0 +1,398 @@
+"""Fused Pallas TPU kernels for the batched Riccati recursion.
+
+Why these exist (measured on v5e): XLA executes each HLO op / loop
+iteration with a large fixed overhead, and lowers batched 13x13 matmuls at
+<0.1% of MXU peak — so the 50-stage Riccati scan costs ~30 ms at B=1024 in
+pure XLA even though the math is ~2 Mflop/stage.  These kernels fuse an
+ENTIRE backward or forward sweep into one kernel launch: the stage loop is
+the Pallas grid (sequential on TPU), the cost-to-go (P, p) is carried in
+VMEM scratch across grid steps, and per-stage problem data streams
+HBM->VMEM through the BlockSpec pipeline.
+
+Layout: batch-LAST.  A matrix batch is shaped (N, n, m, B): the trailing
+B axis maps onto VPU lanes, so every matrix element is a (B,)-vector and a
+13x13 matmul is 13 broadcasted FMAs on (13,13,B) tiles — pure VPU work at
+full lane occupancy, no MXU padding waste.  All small-matrix algebra
+(4x4 Cholesky, triangular solves) is unrolled at trace time.
+
+Kernels:
+  backward_sweep:        Riccati factorization + affine pass ->
+                         (K, kff, L, p) per stage (L = chol(Quu) packed)
+  forward_sweep:         dx_{k+1} = A dx + B du + c with du = K dx + kff
+  backward_vector_sweep: affine pass only, reusing stored (K, L)
+                         (the Mehrotra corrector's second RHS)
+
+The mathematical contract matches `ops.riccati` exactly (tested against it
+in tests/test_pallas_kernels.py, including interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NX = 13
+NU = 4
+NL = NU * (NU + 1) // 2  # packed lower-triangular Cholesky entries
+
+
+# ---------------------------------------------------------------------------
+# trace-time small-matrix algebra on (n, m, B) tiles
+# ---------------------------------------------------------------------------
+
+def _col(x, i):
+    """Basic-slice x[:, i, :] as (n, 1, B) without mixed int/newaxis
+    indexing (which Mosaic lowers as an unsupported gather)."""
+    return x[:, i:i + 1, :]
+
+
+def _row(x, i):
+    """Basic-slice x[i, :, :] as (1, m, B)."""
+    return x[i:i + 1, :, :]
+
+
+def _mm(a, b, n, k, m):
+    """(n,k,B) @ (k,m,B) -> (n,m,B) via k-loop of broadcast FMAs."""
+    c = _col(a, 0) * _row(b, 0)
+    for i in range(1, k):
+        c = c + _col(a, i) * _row(b, i)
+    return c
+
+
+def _mtm(a, b, k, n, m):
+    """a^T b: (k,n,B),(k,m,B) -> (n,m,B)."""
+    c = jnp.swapaxes(_row(a, 0), 0, 1) * _row(b, 0)
+    for i in range(1, k):
+        c = c + jnp.swapaxes(_row(a, i), 0, 1) * _row(b, i)
+    return c
+
+
+def _mv(a, v, n, k):
+    """(n,k,B) @ (k,B) -> (n,B)."""
+    c = a[:, 0, :] * v[0:1, :]
+    for i in range(1, k):
+        c = c + a[:, i, :] * v[i:i + 1, :]
+    return c
+
+
+def _mtv(a, v, k, n):
+    """a^T v: (k,n,B),(k,B) -> (n,B)."""
+    c = a[0, :, :] * v[0:1, :]
+    for i in range(1, k):
+        c = c + a[i, :, :] * v[i:i + 1, :]
+    return c
+
+
+def _chol4(M):
+    """Unrolled 4x4 Cholesky of (4,4,B) -> packed lower (10,B)."""
+    l00 = jnp.sqrt(M[0, 0])
+    l10 = M[1, 0] / l00
+    l20 = M[2, 0] / l00
+    l30 = M[3, 0] / l00
+    l11 = jnp.sqrt(M[1, 1] - l10 * l10)
+    l21 = (M[2, 1] - l20 * l10) / l11
+    l31 = (M[3, 1] - l30 * l10) / l11
+    l22 = jnp.sqrt(M[2, 2] - l20 * l20 - l21 * l21)
+    l32 = (M[3, 2] - l30 * l20 - l31 * l21) / l22
+    l33 = jnp.sqrt(M[3, 3] - l30 * l30 - l31 * l31 - l32 * l32)
+    return jnp.stack([l00, l10, l20, l30, l11, l21, l31, l22, l32, l33])
+
+
+def _unpack_L(L):
+    return (L[0], L[1], L[2], L[3], L[4], L[5], L[6], L[7], L[8], L[9])
+
+
+def _cho_solve4(L, Y, m):
+    """Solve (L L^T) X = Y with packed L (10,B), Y (4,m,B) -> (4,m,B)."""
+    l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = _unpack_L(L)
+    # forward: L Z = Y
+    z0 = Y[0] / l00[None, :]
+    z1 = (Y[1] - l10[None, :] * z0) / l11[None, :]
+    z2 = (Y[2] - l20[None, :] * z0 - l21[None, :] * z1) / l22[None, :]
+    z3 = (Y[3] - l30[None, :] * z0 - l31[None, :] * z1
+          - l32[None, :] * z2) / l33[None, :]
+    # backward: L^T X = Z
+    x3 = z3 / l33[None, :]
+    x2 = (z2 - l32[None, :] * x3) / l22[None, :]
+    x1 = (z1 - l21[None, :] * x2 - l31[None, :] * x3) / l11[None, :]
+    x0 = (z0 - l10[None, :] * x1 - l20[None, :] * x2
+          - l30[None, :] * x3) / l00[None, :]
+    return jnp.stack([x0, x1, x2, x3])
+
+
+def _cho_solve4_vec(L, y):
+    """Solve (L L^T) x = y with packed L (10,B), y (4,B) -> (4,B)."""
+    l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = _unpack_L(L)
+    z0 = y[0] / l00
+    z1 = (y[1] - l10 * z0) / l11
+    z2 = (y[2] - l20 * z0 - l21 * z1) / l22
+    z3 = (y[3] - l30 * z0 - l31 * z1 - l32 * z2) / l33
+    x3 = z3 / l33
+    x2 = (z2 - l32 * x3) / l22
+    x1 = (z1 - l21 * x2 - l31 * x3) / l11
+    x0 = (z0 - l10 * x1 - l20 * x2 - l30 * x3) / l00
+    return jnp.stack([x0, x1, x2, x3])
+
+
+# ---------------------------------------------------------------------------
+# backward sweep: factorization + affine vector pass
+# ---------------------------------------------------------------------------
+
+def _backward_kernel(ns, A_ref, B_ref, c_ref, Qxx_ref, qx_ref, Ruu_ref,
+                     ru_ref, S_ref, Pt_ref, pt_ref,
+                     K_out, kff_out, L_out, P_next_out,
+                     P_scr, p_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        P_scr[:] = Pt_ref[:]
+        p_scr[:] = pt_ref[:]
+
+    # blocks hold `ns` stages, stored forward-ordered; sweep them in
+    # reverse (stage N-1 is block [-1] of grid step 0)
+    for j in range(ns - 1, -1, -1):
+        A = A_ref[j]      # (13, 13, Bt)
+        Bm = B_ref[j]     # (13, 4, Bt)
+        c = c_ref[j]      # (13, Bt)
+        P = P_scr[:]      # (13, 13, Bt)
+        p = p_scr[:]      # (13, Bt)
+
+        PA = _mm(P, A, NX, NX, NX)                    # (13,13,B)
+        PB = _mm(P, Bm, NX, NX, NU)                   # (13,4,B)
+        m = p + _mv(P, c, NX, NX)                     # (13,B)
+        Quu = Ruu_ref[j] + _mtm(Bm, PB, NX, NU, NU)   # (4,4,B)
+        Qux = S_ref[j] + _mtm(Bm, PA, NX, NU, NX)     # (4,13,B)
+        Qu = ru_ref[j] + _mtv(Bm, m, NX, NU)          # (4,B)
+
+        L = _chol4(Quu)                               # (10,B)
+        K = -_cho_solve4(L, Qux, NX)                  # (4,13,B)
+        kff = -_cho_solve4_vec(L, Qu)                 # (4,B)
+
+        # P' = Qxx + A'PA + Qux'K ; p' = qx + A'm + K'Qu (same algebra
+        # as ops.riccati.factorize / backward_vector)
+        APA = _mtm(A, PA, NX, NX, NX)
+        QK = _mtm(Qux, K, NU, NX, NX)
+        P_new = Qxx_ref[j] + APA + QK
+        P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+        p_new = qx_ref[j] + _mtv(A, m, NX, NX) + _mtv(K, Qu, NU, NX)
+
+        K_out[j] = K
+        kff_out[j] = kff
+        L_out[j] = L
+        P_next_out[j] = P  # P_{k+1}: the Hessian this stage consumed
+
+        P_scr[:] = P_new
+        p_scr[:] = p_new
+
+
+def backward_sweep(A, B, c, Qxx, qx, Ruu, ru, S, P_term, p_term,
+                   block_b: int = 256, stages_per_step: int = 1,
+                   interpret: bool = False):
+    """Fused Riccati backward sweep (factorize + affine pass).
+
+    Args (batch-last layout):
+      A (N,13,13,Bt*G), B (N,13,4,·), c (N,13,·), Qxx (N,13,13,·),
+      qx (N,13,·), Ruu (N,4,4,·), ru (N,4,·), S (N,4,13,·),
+      P_term (13,13,·), p_term (13,·).
+    Returns (K (N,4,13,·), kff (N,4,·), L (N,10,·), P_next (N,13,13,·))
+    where P_next[k] = P_{k+1}, the cost-to-go Hessian consumed by stage k —
+    exactly what `backward_vector_sweep` needs to re-solve with a new RHS.
+    """
+    N = A.shape[0]
+    Btot = A.shape[-1]
+    dtype = A.dtype
+    if Btot % block_b != 0:
+        raise ValueError(f"batch {Btot} must be divisible by {block_b}")
+    if N % stages_per_step != 0:
+        raise ValueError(f"N={N} must be divisible by {stages_per_step}")
+    nb = Btot // block_b
+    ns = stages_per_step
+    ngrid = N // ns
+
+    def spec(shape_prefix):
+        # stage-block-streamed input, swept in reverse block order
+        def idx(b, n):
+            return (ngrid - 1 - n,) + (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec((ns,) + shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    def spec_const(shape_prefix):
+        def idx(b, n):
+            return (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec(shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    grid = (nb, ngrid)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, NU, NX, Btot), dtype),   # K
+        jax.ShapeDtypeStruct((N, NU, Btot), dtype),       # kff
+        jax.ShapeDtypeStruct((N, NL, Btot), dtype),       # L packed
+        jax.ShapeDtypeStruct((N, NX, NX, Btot), dtype),   # P_next
+    )
+    out_specs = (
+        spec((NU, NX)),
+        spec((NU,)),
+        spec((NL,)),
+        spec((NX, NX)),
+    )
+    in_specs = [
+        spec((NX, NX)), spec((NX, NU)), spec((NX,)),
+        spec((NX, NX)), spec((NX,)),
+        spec((NU, NU)), spec((NU,)), spec((NU, NX)),
+        spec_const((NX, NX)), spec_const((NX,)),
+    ]
+    scratch = [
+        pltpu.VMEM((NX, NX, block_b), dtype),
+        pltpu.VMEM((NX, block_b), dtype),
+    ]
+    import functools as _ft
+    return pl.pallas_call(
+        _ft.partial(_backward_kernel, ns),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(A, B, c, Qxx, qx, Ruu, ru, S, P_term, p_term)
+
+
+# ---------------------------------------------------------------------------
+# forward sweep
+# ---------------------------------------------------------------------------
+
+def _forward_kernel(ns, A_ref, B_ref, c_ref, K_ref, kff_ref, dx0_ref,
+                    dx_out, du_out, dx_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        dx_scr[:] = dx0_ref[:]
+
+    for j in range(ns):
+        dx = dx_scr[:]                                 # (13,B)
+        du = _mv(K_ref[j], dx, NU, NX) + kff_ref[j]    # (4,B)
+        dx_next = (_mv(A_ref[j], dx, NX, NX)
+                   + _mv(B_ref[j], du, NX, NU) + c_ref[j])
+        dx_out[j] = dx
+        du_out[j] = du
+        dx_scr[:] = dx_next
+
+
+def forward_sweep(A, B, c, K, kff, dx0, block_b: int = 256,
+                  stages_per_step: int = 1, interpret: bool = False):
+    """Fused forward rollout.  Returns (dx (N+1,13,·), du (N,4,·)).
+
+    The final state dx[N] is reconstructed outside the kernel (one batched
+    affine step) to keep the kernel's output blocks uniform.
+    """
+    N = A.shape[0]
+    Btot = A.shape[-1]
+    dtype = A.dtype
+    nb = Btot // block_b
+    ns = stages_per_step
+    if N % ns != 0:
+        raise ValueError(f"N={N} must be divisible by {ns}")
+
+    def spec(shape_prefix):
+        def idx(b, n):
+            return (n,) + (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec((ns,) + shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    def spec_const(shape_prefix):
+        def idx(b, n):
+            return (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec(shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    import functools as _ft
+    dxs, dus = pl.pallas_call(
+        _ft.partial(_forward_kernel, ns),
+        grid=(nb, N // ns),
+        in_specs=[spec((NX, NX)), spec((NX, NU)), spec((NX,)),
+                  spec((NU, NX)), spec((NU,)), spec_const((NX,))],
+        out_specs=(spec((NX,)), spec((NU,))),
+        out_shape=(jax.ShapeDtypeStruct((N, NX, Btot), dtype),
+                   jax.ShapeDtypeStruct((N, NU, Btot), dtype)),
+        scratch_shapes=[pltpu.VMEM((NX, block_b), dtype)],
+        interpret=interpret,
+    )(A, B, c, K, kff, dx0)
+    # last state: dx_N = A dx_{N-1} + B du_{N-1} + c_{N-1}
+    dx_last = (jnp.einsum("ijb,jb->ib", A[-1], dxs[-1])
+               + jnp.einsum("ijb,jb->ib", B[-1], dus[-1]) + c[-1])
+    dx_all = jnp.concatenate([dxs, dx_last[None]], axis=0)
+    return dx_all, dus
+
+
+# ---------------------------------------------------------------------------
+# vector-only backward sweep (reuses stored K, L)
+# ---------------------------------------------------------------------------
+
+def _backward_vec_kernel(ns, A_ref, B_ref, c_ref, qx_ref, ru_ref, K_ref,
+                         L_ref, P_ref, pt_ref, kff_out, p_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        p_scr[:] = pt_ref[:]
+
+    for j in range(ns - 1, -1, -1):
+        A = A_ref[j]
+        Bm = B_ref[j]
+        p = p_scr[:]
+        m = p + _mv(P_ref[j], c_ref[j], NX, NX)  # P_{k+1} c_k + p_{k+1}
+        Qu = ru_ref[j] + _mtv(Bm, m, NX, NU)
+        kff = -_cho_solve4_vec(L_ref[j], Qu)
+        p_new = (qx_ref[j] + _mtv(A, m, NX, NX)
+                 + _mtv(K_ref[j], Qu, NU, NX))
+        kff_out[j] = kff
+        p_scr[:] = p_new
+
+
+def backward_vector_sweep(A, B, c, qx, ru, K, L, P_next, p_term,
+                          block_b: int = 256, stages_per_step: int = 1,
+                          interpret: bool = False):
+    """Affine backward pass with a fixed factorization.
+
+    P_next must be the stage-stacked P_{k+1} array (N,13,13,·) — i.e. the
+    cost-to-go Hessians of stages 1..N (terminal last), matching
+    `ops.riccati.backward_vector`'s use of factors.P[1:].
+    Returns kff (N,4,·).
+    """
+    N = A.shape[0]
+    Btot = A.shape[-1]
+    dtype = A.dtype
+    nb = Btot // block_b
+    ns = stages_per_step
+    if N % ns != 0:
+        raise ValueError(f"N={N} must be divisible by {ns}")
+    ngrid = N // ns
+
+    def spec(shape_prefix):
+        def idx(b, n):
+            return (ngrid - 1 - n,) + (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec((ns,) + shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    def spec_const(shape_prefix):
+        def idx(b, n):
+            return (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec(shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    import functools as _ft
+    return pl.pallas_call(
+        _ft.partial(_backward_vec_kernel, ns),
+        grid=(nb, ngrid),
+        in_specs=[spec((NX, NX)), spec((NX, NU)), spec((NX,)),
+                  spec((NX,)), spec((NU,)), spec((NU, NX)), spec((NL,)),
+                  spec((NX, NX)), spec_const((NX,))],
+        out_specs=spec((NU,)),
+        out_shape=jax.ShapeDtypeStruct((N, NU, Btot), dtype),
+        scratch_shapes=[pltpu.VMEM((NX, block_b), dtype)],
+        interpret=interpret,
+    )(A, B, c, qx, ru, K, L, P_next, p_term)
