@@ -47,6 +47,12 @@ class LoopConfig:
                                          metadata=dict(static=True))
     plant_substeps: int = dataclasses.field(default=1,
                                             metadata=dict(static=True))
+    # hold-last-action on solver failure: a non-finite solve publishes the
+    # previous command instead (the reference's failed-solve behavior —
+    # the catch block keeps the last outputs, acados_mpc.cpp:714-717,
+    # SURVEY.md §5 failure detection)
+    guard_failures: bool = dataclasses.field(default=True,
+                                             metadata=dict(static=True))
     ipm: ipm.IPMConfig = dataclasses.field(default_factory=ipm.IPMConfig)
 
 
@@ -80,7 +86,7 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
     u_pipe0 = jnp.full((max(d, 1), NU), uss, x_init.dtype)
 
     def tick(carry, _):
-        x_plant, rti_state, pol_state, u_pipe = carry
+        x_plant, rti_state, pol_state, u_pipe, u_prev = carry
 
         # --- reference generation (policy machine)
         yref, yref_e, pol_next = policies_mod.make_yref(
@@ -99,9 +105,20 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
         x_pred = predict(x_plant)
 
         # --- RTI solve from the predicted state
-        rti_state, out = rti_step(spec, rti_state, x_pred, yref, yref_e,
-                                  config.ipm)
+        rti_new, out = rti_step(spec, rti_state, x_pred, yref, yref_e,
+                                config.ipm)
         u_cmd = out.u0
+        if config.guard_failures:
+            # hold-last-action fallback: a non-finite solve keeps the
+            # previous command and discards the broken iterate
+            ok = jnp.all(jnp.isfinite(out.u_plan)) & jnp.all(
+                jnp.isfinite(out.x_plan))
+            u_cmd = jnp.where(ok, u_cmd, u_prev)
+            rti_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), rti_new,
+                rti_state)
+        else:
+            rti_state = rti_new
 
         # --- actuation: with delay, the plant runs the oldest pending
         # command while the new one enters the pipe.
@@ -115,11 +132,12 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
         x_next = integrate(dynamics, spec.params, x_plant, u_apply, spec.dt,
                            config.plant_substeps)
 
-        carry = (x_next, rti_state, pol_next, u_pipe)
+        carry = (x_next, rti_state, pol_next, u_pipe, u_cmd)
         outs = (x_plant, u_apply, u_cmd, out.kkt_res, pol_state.mode)
         return carry, outs
 
-    carry0 = (x_init, rti0, policy_state, u_pipe0)
+    carry0 = (x_init, rti0, policy_state, u_pipe0,
+              jnp.full((NU,), uss, x_init.dtype))
     _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
         tick, carry0, None, length=steps)
     return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,

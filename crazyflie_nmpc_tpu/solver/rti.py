@@ -11,6 +11,16 @@ carried state is explicit and functional:
 
 so it jit/vmap/scan-composes, checkpoints trivially (it's just arrays), and
 batches across drones/scenarios.
+
+Robustness note: like acados' RTI, there is no globalization — one
+Gauss-Newton step per tick with a fixed QP iteration budget.  On aggressive
+transients an under-provisioned configuration (very short horizons N<~15
+combined with a starved IPM budget <~8 iterations in f32) can leave the QP
+under-converged, degrade the carried warm start, and self-reinforce.  The
+reference problem's envelope (N=50, 8+ iterations) is comfortably stable in
+all closed-loop tests; `runtime.closed_loop.LoopConfig.guard_failures`
+additionally holds the last action if a solve ever goes non-finite
+(the reference's failed-solve behavior, acados_mpc.cpp:714-717).
 """
 
 from __future__ import annotations
