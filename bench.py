@@ -22,9 +22,11 @@ import jax
 import jax.numpy as jnp
 
 # persistent compile cache: the fused-kernel graph is expensive to compile
-# on small hosts; repeated bench runs should only pay it once.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# on small hosts; repeated bench runs should only pay it once.  Keyed by
+# CPU fingerprint — cross-host XLA:CPU AOT artifacts segfault on load.
+from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
 
 
 def log(*a):

@@ -17,3 +17,4 @@ from crazyflie_nmpc_tpu.native.bindings import (  # noqa: F401
     quat_compress,
     quat_decompress,
 )
+from crazyflie_nmpc_tpu.native.firmware_sim import FirmwareSim  # noqa: F401

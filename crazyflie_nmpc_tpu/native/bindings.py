@@ -55,6 +55,34 @@ def load_library() -> ct.CDLL:
             lib.cfl_send_external_position.argtypes = [
                 ct.c_void_p, ct.c_int, ct.c_float, ct.c_float, ct.c_float]
             lib.cfl_emergency.argtypes = [ct.c_void_p, ct.c_int]
+            lib.cfl_param_write.argtypes = [ct.c_void_p, ct.c_int,
+                                            ct.c_uint16, ct.c_uint8, u8p]
+            lib.cfl_param_read.argtypes = [ct.c_void_p, ct.c_int,
+                                           ct.c_uint16]
+            lib.cfl_param_toc_info.argtypes = [ct.c_void_p, ct.c_int]
+            lib.cfl_log_create_block.argtypes = [
+                ct.c_void_p, ct.c_int, ct.c_uint8, ct.c_int, u8p,
+                ct.POINTER(ct.c_uint16)]
+            lib.cfl_log_start_block.argtypes = [ct.c_void_p, ct.c_int,
+                                                ct.c_uint8, ct.c_uint8]
+            lib.cfl_log_stop_block.argtypes = [ct.c_void_p, ct.c_int,
+                                               ct.c_uint8]
+            lib.cfl_send_takeoff.argtypes = [ct.c_void_p, ct.c_int,
+                                             ct.c_uint8, ct.c_float,
+                                             ct.c_float]
+            lib.cfl_send_land.argtypes = [ct.c_void_p, ct.c_int, ct.c_uint8,
+                                          ct.c_float, ct.c_float]
+            lib.cfl_send_goto.argtypes = [ct.c_void_p, ct.c_int, ct.c_uint8,
+                                          ct.c_int] + [ct.c_float] * 5
+            lib.cfl_send_start_trajectory.argtypes = [
+                ct.c_void_p, ct.c_int, ct.c_uint8, ct.c_int, ct.c_int,
+                ct.c_uint8, ct.c_float]
+            lib.cfl_upload_trajectory.argtypes = [
+                ct.c_void_p, ct.c_int, ct.c_uint8, ct.c_uint32, u8p,
+                ct.c_int, ct.c_uint8]
+            lib.cfl_send_packet.argtypes = [ct.c_void_p, ct.c_int,
+                                            ct.c_uint8, u8p, ct.c_int]
+            lib.cfl_poll_packet.argtypes = [ct.c_void_p, ct.c_int, u8p, u8p]
             lib.cfl_poll_log.argtypes = [ct.c_void_p, ct.c_int, u8p,
                                          ct.POINTER(ct.c_uint32), u8p]
             lib.cfl_stats.argtypes = [ct.c_void_p, ct.c_int] + \
@@ -205,6 +233,102 @@ class LinkServer:
 
     def emergency(self, vid):
         self._lib.cfl_emergency(self._handle, vid)
+
+    # ---- parameters (the reference's param TOC rosparams + UpdateParams
+    # service, crazyflie_server.cpp:485-517).  PARAM_TYPES maps type name →
+    # (wire type byte, struct format).
+    PARAM_TYPES = {
+        "uint8": (0x00, "<B"), "uint16": (0x01, "<H"),
+        "uint32": (0x02, "<I"), "int8": (0x04, "<b"),
+        "int16": (0x05, "<h"), "int32": (0x06, "<i"),
+        "float": (0x08, "<f"),
+    }
+
+    def set_param(self, vid, param_id: int, value, ptype: str = "float"
+                  ) -> bool:
+        import struct
+        tbyte, fmt = self.PARAM_TYPES[ptype]
+        raw = struct.pack(fmt, value) + b"\0" * 4
+        buf = (ct.c_uint8 * 4).from_buffer_copy(raw[:4])
+        return self._lib.cfl_param_write(self._handle, vid, param_id, tbyte,
+                                         buf) == 0
+
+    def request_param(self, vid, param_id: int) -> bool:
+        return self._lib.cfl_param_read(self._handle, vid, param_id) == 0
+
+    def request_param_toc_info(self, vid) -> bool:
+        return self._lib.cfl_param_toc_info(self._handle, vid) == 0
+
+    # ---- log blocks (LogBlock<T> lifecycle, crazyflie_server.cpp:519-651)
+    def log_create_block(self, vid, block_id: int, variables) -> bool:
+        """variables: list of (storage_type_byte, var_id) pairs, <= 9."""
+        n = len(variables)
+        types = (ct.c_uint8 * n)(*[t for t, _ in variables])
+        ids = (ct.c_uint16 * n)(*[i for _, i in variables])
+        return self._lib.cfl_log_create_block(self._handle, vid, block_id,
+                                              n, types, ids) == 0
+
+    def log_start_block(self, vid, block_id: int, period_10ms: int) -> bool:
+        return self._lib.cfl_log_start_block(self._handle, vid, block_id,
+                                             period_10ms) == 0
+
+    def log_stop_block(self, vid, block_id: int) -> bool:
+        return self._lib.cfl_log_stop_block(self._handle, vid,
+                                            block_id) == 0
+
+    # ---- high-level commander (takeoff/land/goTo/trajectory services,
+    # crazyflie_server.cpp:920-992)
+    def takeoff(self, vid, height: float, duration: float,
+                group_mask: int = 0) -> bool:
+        return self._lib.cfl_send_takeoff(self._handle, vid, group_mask,
+                                          height, duration) == 0
+
+    def land(self, vid, height: float, duration: float,
+             group_mask: int = 0) -> bool:
+        return self._lib.cfl_send_land(self._handle, vid, group_mask,
+                                       height, duration) == 0
+
+    def go_to(self, vid, x, y, z, yaw, duration, relative=False,
+              group_mask: int = 0) -> bool:
+        return self._lib.cfl_send_goto(self._handle, vid, group_mask,
+                                       int(relative), x, y, z, yaw,
+                                       duration) == 0
+
+    def start_trajectory(self, vid, traj_id: int, timescale: float = 1.0,
+                         relative=False, reversed=False,
+                         group_mask: int = 0) -> bool:
+        return self._lib.cfl_send_start_trajectory(
+            self._handle, vid, group_mask, int(relative), int(reversed),
+            traj_id, timescale) == 0
+
+    def upload_trajectory(self, vid, traj_id: int, data: bytes,
+                          n_pieces: int, mem_offset: int = 0) -> int:
+        """Chunked mem-port upload + define-trajectory; returns #packets."""
+        buf = (ct.c_uint8 * len(data)).from_buffer_copy(data)
+        n = self._lib.cfl_upload_trajectory(self._handle, vid, traj_id,
+                                            mem_offset, buf, len(data),
+                                            n_pieces)
+        if n < 0:
+            raise OSError(f"upload_trajectory failed: {n}")
+        return n
+
+    # ---- generic packet path (srv/sendPacket equivalent) + downlink poll
+    def send_packet(self, vid, header: int, data: bytes) -> bool:
+        buf = (ct.c_uint8 * max(1, len(data))).from_buffer_copy(
+            data or b"\0")
+        return self._lib.cfl_send_packet(self._handle, vid, header, buf,
+                                         len(data)) == 0
+
+    def poll_packet(self, vid):
+        """Pop one non-log downlink packet (param ack, console, mem ack):
+        returns (header, payload bytes) or None."""
+        header = ct.c_uint8()
+        data = (ct.c_uint8 * 30)()
+        n = self._lib.cfl_poll_packet(self._handle, vid, ct.byref(header),
+                                      data)
+        if n < 0:
+            return None
+        return header.value, bytes(data[:n])
 
     def poll_log(self, vid):
         """Pop one decoded log record or None."""

@@ -24,6 +24,7 @@ enum class Port : uint8_t {
   kLog = 0x5,
   kLocalization = 0x6,
   kGenericSetpoint = 0x7,
+  kSetpointHl = 0x8,
   kPlatform = 0xD,
   kLink = 0xF,
 };
@@ -113,6 +114,124 @@ bool DecodeLogData(const Packet& p, LogData* out);
 // cycle so the log stream stays alive (crazyflie_server.cpp:669-681).
 Packet EncodePing();
 bool IsPing(const Packet& p);
+
+// ---- Parameters (port 2).  The reference exposes the firmware param TOC
+// as rosparams and an UpdateParams service (crazyflie_server.cpp:485-517,
+// updateParams).  Channels: 0 = TOC access, 1 = read, 2 = write.  Params
+// are identified by a 16-bit id; values are typed.  (Simplification vs the
+// real TOC protocol: the value type rides in the packet instead of being
+// looked up from a downloaded TOC — both endpoints here are ours.)
+enum class ParamType : uint8_t {
+  kUint8 = 0x00,
+  kUint16 = 0x01,
+  kUint32 = 0x02,
+  kInt8 = 0x04,
+  kInt16 = 0x05,
+  kInt32 = 0x06,
+  kFloat = 0x08,
+};
+int ParamTypeSize(ParamType t);  // bytes, or -1 if unknown
+
+// TOC info request (ch 0, cmd 3): firmware answers {cmd, count u16, crc u32}.
+Packet EncodeParamTocInfoRequest();
+Packet EncodeParamTocInfoResponse(uint16_t count, uint32_t crc);
+bool DecodeParamTocInfoResponse(const Packet& p, uint16_t* count,
+                                uint32_t* crc);
+// Read request (ch 1): {id u16}; response: {id u16, type u8, value}.
+Packet EncodeParamRead(uint16_t id);
+bool DecodeParamRead(const Packet& p, uint16_t* id);
+Packet EncodeParamValue(uint16_t id, ParamType type, const void* value);
+bool DecodeParamValue(const Packet& p, uint16_t* id, ParamType* type,
+                      uint8_t value[4]);
+// Write (ch 2): {id u16, type u8, value}; firmware echoes a ParamValue ack.
+Packet EncodeParamWrite(uint16_t id, ParamType type, const void* value);
+bool DecodeParamWrite(const Packet& p, uint16_t* id, ParamType* type,
+                      uint8_t value[4]);
+
+// ---- Log block control (port 5 ch 0) — the LogBlock<T> lifecycle the
+// reference drives for each telemetry stream (crazyflie_server.cpp:519-651):
+// create a block of variables, start it with a period in 10 ms units
+// ("start(1) // 10ms"), stop/delete on teardown.
+enum class LogControl : uint8_t {
+  kDeleteBlock = 2,
+  kStartBlock = 3,   // {cmd, block_id, period_10ms}
+  kStopBlock = 4,    // {cmd, block_id}
+  kReset = 5,
+  kCreateBlockV2 = 6,  // {cmd, block_id, (storage_type u8, var_id u16)...}
+};
+struct LogBlockSpec {
+  uint8_t block_id;
+  uint8_t n_vars;
+  uint8_t var_types[9];
+  uint16_t var_ids[9];
+};
+Packet EncodeLogCreateBlock(const LogBlockSpec& spec);
+bool DecodeLogCreateBlock(const Packet& p, LogBlockSpec* out);
+Packet EncodeLogStartBlock(uint8_t block_id, uint8_t period_10ms);
+Packet EncodeLogStopBlock(uint8_t block_id);
+Packet EncodeLogDeleteBlock(uint8_t block_id);
+Packet EncodeLogReset();
+// Control ack (ch 0 response): {cmd, block_id, status}.
+Packet EncodeLogControlAck(uint8_t cmd, uint8_t block_id, uint8_t status);
+bool DecodeLogControl(const Packet& p, uint8_t* cmd, uint8_t* block_id,
+                      uint8_t* period_10ms /* valid for start */);
+
+// ---- High-level commander (port 8 ch 0) — the reference's takeoff/land/
+// goTo/startTrajectory services map 1:1 onto these commands
+// (crazyflie_server.cpp:920-992, srv/Takeoff|Land|GoTo|StartTrajectory).
+enum class HlCommand : uint8_t {
+  kSetGroupMask = 0,
+  kStop = 3,
+  kGoTo = 4,
+  kStartTrajectory = 5,
+  kDefineTrajectory = 6,
+  kTakeoff2 = 7,
+  kLand2 = 8,
+};
+Packet EncodeHlSetGroupMask(uint8_t group_mask);
+Packet EncodeHlTakeoff(uint8_t group_mask, float height_m, float yaw_rad,
+                       bool use_current_yaw, float duration_s);
+Packet EncodeHlLand(uint8_t group_mask, float height_m, float yaw_rad,
+                    bool use_current_yaw, float duration_s);
+Packet EncodeHlStop(uint8_t group_mask);
+Packet EncodeHlGoTo(uint8_t group_mask, bool relative, float x, float y,
+                    float z, float yaw_rad, float duration_s);
+Packet EncodeHlStartTrajectory(uint8_t group_mask, bool relative,
+                               bool reversed, uint8_t traj_id,
+                               float timescale);
+Packet EncodeHlDefineTrajectory(uint8_t traj_id, uint32_t mem_offset,
+                                uint8_t n_pieces);
+struct HlGoTo {
+  uint8_t group_mask;
+  bool relative;
+  float x, y, z, yaw, duration;
+};
+bool DecodeHlGoTo(const Packet& p, HlGoTo* out);
+struct HlTakeoffLand {
+  uint8_t command;  // kTakeoff2 or kLand2
+  uint8_t group_mask;
+  float height, yaw, duration;
+  bool use_current_yaw;
+};
+bool DecodeHlTakeoffLand(const Packet& p, HlTakeoffLand* out);
+
+// ---- Memory access (port 4) — trajectory upload writes packed polynomial
+// pieces into the firmware trajectory memory before kDefineTrajectory
+// (crazyflie_server.cpp uploadTrajectory / srv/UploadTrajectory).
+// ch 1 = read {mem_id u8, addr u32, len u8}, ch 2 = write
+// {mem_id u8, addr u32, data...} acked by {mem_id u8, addr u32, status u8}.
+constexpr uint8_t kMemIdTrajectory = 0;
+constexpr std::size_t kMemWriteChunk = 24;  // payload bytes per write packet
+Packet EncodeMemWrite(uint8_t mem_id, uint32_t addr, const uint8_t* data,
+                      std::size_t len);
+bool DecodeMemWrite(const Packet& p, uint8_t* mem_id, uint32_t* addr,
+                    uint8_t data[kMemWriteChunk], uint8_t* len);
+Packet EncodeMemWriteAck(uint8_t mem_id, uint32_t addr, uint8_t status);
+
+// ---- Console (port 0): firmware text forwarded to the host logger
+// (crazyflie_server.cpp:892-901).
+Packet EncodeConsole(const char* text, std::size_t len);
+bool DecodeConsole(const Packet& p, char text[kMaxPayload + 1]);
 
 // ---- Smallest-three quaternion compression (the firmware scheme that
 // crazyflie_cpp's quatdecompress undoes, crazyflie_server.cpp:853):

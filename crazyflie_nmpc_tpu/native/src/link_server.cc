@@ -17,6 +17,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstdio>
@@ -71,6 +72,8 @@ struct Vehicle {
   std::atomic<bool> emergency{false};
   SpscRing<Packet, 256> tx_ring;       // host -> radio
   SpscRing<LogRecord, 1024> log_ring;  // radio -> host
+  SpscRing<Packet, 256> rx_ring;       // radio -> host, non-log packets
+                                       // (param acks, console, mem acks)
   // stats
   std::atomic<uint64_t> sent{0};
   std::atomic<uint64_t> received{0};
@@ -133,6 +136,9 @@ struct Vehicle {
         rec.payload_size = d.payload_size;
         std::memcpy(rec.payload, d.payload, d.payload_size);
         if (!log_ring.Push(rec)) dropped.fetch_add(1);
+      } else if (!cfl::IsPing(p)) {
+        // param acks, console text, mem/log-control acks → host poll queue
+        if (!rx_ring.Push(p)) dropped.fetch_add(1);
       }
     }
   }
@@ -274,6 +280,127 @@ int cfl_emergency(void* sv, int id) {
   if (!v) return -1;
   v->emergency.store(true);
   return 0;
+}
+
+// ---- parameter access (port 2): write is fire-and-forget here; the ack
+// comes back through cfl_poll_packet (the reference's updateParams service
+// + param TOC, crazyflie_server.cpp:485-517).
+int cfl_param_write(void* sv, int id, uint16_t param_id, uint8_t type,
+                    const uint8_t* value) {
+  return QueuePacket(
+      sv, id,
+      cfl::EncodeParamWrite(param_id, static_cast<cfl::ParamType>(type),
+                            value));
+}
+
+int cfl_param_read(void* sv, int id, uint16_t param_id) {
+  return QueuePacket(sv, id, cfl::EncodeParamRead(param_id));
+}
+
+int cfl_param_toc_info(void* sv, int id) {
+  return QueuePacket(sv, id, cfl::EncodeParamTocInfoRequest());
+}
+
+// ---- log block lifecycle (port 5 ch 0, LogBlock<T> semantics).
+int cfl_log_create_block(void* sv, int id, uint8_t block_id, int n_vars,
+                         const uint8_t* var_types, const uint16_t* var_ids) {
+  cfl::LogBlockSpec spec;
+  spec.block_id = block_id;
+  spec.n_vars = static_cast<uint8_t>(n_vars > 9 ? 9 : n_vars);
+  for (int i = 0; i < spec.n_vars; ++i) {
+    spec.var_types[i] = var_types[i];
+    spec.var_ids[i] = var_ids[i];
+  }
+  return QueuePacket(sv, id, cfl::EncodeLogCreateBlock(spec));
+}
+
+int cfl_log_start_block(void* sv, int id, uint8_t block_id,
+                        uint8_t period_10ms) {
+  return QueuePacket(sv, id,
+                     cfl::EncodeLogStartBlock(block_id, period_10ms));
+}
+
+int cfl_log_stop_block(void* sv, int id, uint8_t block_id) {
+  return QueuePacket(sv, id, cfl::EncodeLogStopBlock(block_id));
+}
+
+// ---- high-level commander (port 8): the takeoff/land/goTo/trajectory
+// services (crazyflie_server.cpp:920-992).
+int cfl_send_takeoff(void* sv, int id, uint8_t group, float height,
+                     float duration) {
+  return QueuePacket(sv, id,
+                     cfl::EncodeHlTakeoff(group, height, 0.0f, true,
+                                          duration));
+}
+
+int cfl_send_land(void* sv, int id, uint8_t group, float height,
+                  float duration) {
+  return QueuePacket(sv, id,
+                     cfl::EncodeHlLand(group, height, 0.0f, true, duration));
+}
+
+int cfl_send_goto(void* sv, int id, uint8_t group, int relative, float x,
+                  float y, float z, float yaw, float duration) {
+  return QueuePacket(sv, id,
+                     cfl::EncodeHlGoTo(group, relative != 0, x, y, z, yaw,
+                                       duration));
+}
+
+int cfl_send_start_trajectory(void* sv, int id, uint8_t group, int relative,
+                              int reversed, uint8_t traj_id,
+                              float timescale) {
+  return QueuePacket(sv, id,
+                     cfl::EncodeHlStartTrajectory(group, relative != 0,
+                                                  reversed != 0, traj_id,
+                                                  timescale));
+}
+
+// Upload a trajectory blob: chunked mem writes + define-trajectory.
+// Returns number of packets queued, or <0 on error.
+int cfl_upload_trajectory(void* sv, int id, uint8_t traj_id,
+                          uint32_t mem_offset, const uint8_t* data, int len,
+                          uint8_t n_pieces) {
+  int queued = 0;
+  for (int off = 0; off < len;
+       off += static_cast<int>(cfl::kMemWriteChunk)) {
+    const int n = std::min<int>(cfl::kMemWriteChunk, len - off);
+    const int rc = QueuePacket(
+        sv, id,
+        cfl::EncodeMemWrite(cfl::kMemIdTrajectory, mem_offset + off,
+                            data + off, n));
+    if (rc != 0) return rc;
+    ++queued;
+  }
+  const int rc = QueuePacket(
+      sv, id, cfl::EncodeHlDefineTrajectory(traj_id, mem_offset, n_pieces));
+  if (rc != 0) return rc;
+  return queued + 1;
+}
+
+// ---- generic packet path: the reference's send_packet service
+// (crazyflie_server.cpp srv/sendPacket) and the host-side poll for
+// non-log downlink traffic (param acks, console).
+int cfl_send_packet(void* sv, int id, uint8_t header, const uint8_t* data,
+                    int size) {
+  Packet p;
+  p.header = header;
+  p.size = static_cast<uint8_t>(size > 30 ? 30 : size);
+  std::memcpy(p.data, data, p.size);
+  return QueuePacket(sv, id, p);
+}
+
+// Pop one non-log downlink packet: returns payload size >= 0 (header via
+// out-param), or -1 if none / unknown vehicle.
+int cfl_poll_packet(void* sv, int id, uint8_t* header,
+                    uint8_t* data /* >= 30 bytes */) {
+  auto* server = static_cast<Server*>(sv);
+  Vehicle* v = server->Find(id);
+  if (!v) return -1;
+  Packet p;
+  if (!v->rx_ring.Pop(&p)) return -1;
+  *header = p.header;
+  std::memcpy(data, p.data, p.size);
+  return p.size;
 }
 
 // ---- telemetry path: pop one decoded log record; returns payload size

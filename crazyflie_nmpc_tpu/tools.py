@@ -72,6 +72,42 @@ def cmd_console(args) -> int:
     return 0
 
 
+def cmd_imu(args) -> int:
+    """IMU echo — the reference's crazyflie_imu.cpp debug node: subscribe
+    to the gyro/accel stream and pretty-print it (crazyflie_imu.cpp:54-67).
+    Here: create + start a 6-float imu log block, decode and print."""
+    import struct
+
+    from crazyflie_nmpc_tpu.native import LinkServer
+
+    with LinkServer() as server:
+        server.add_vehicle(0, args.host, args.peer_port, args.local_port)
+        # imu block: gyro.xyz + acc.xyz as floats (ids per the firmware-sim
+        # default TOC; a real TOC download would resolve names → ids)
+        variables = [(7, i) for i in range(6)]
+        server.log_create_block(0, args.block_id, variables)
+        server.log_start_block(0, args.block_id, args.period_10ms)
+        print(f"imu echo from {args.host}:{args.peer_port} (ctrl-c stops)")
+        try:
+            deadline = (time.time() + args.duration
+                        if args.duration else None)
+            while deadline is None or time.time() < deadline:
+                rec = server.poll_log(0)
+                if rec is None or rec["block_id"] != args.block_id:
+                    time.sleep(0.002)
+                    continue
+                if len(rec["payload"]) >= 24:
+                    gx, gy, gz, ax, ay, az = struct.unpack(
+                        "<6f", rec["payload"][:24])
+                    print(f"[{rec['timestamp_ms']:>10} ms] "
+                          f"gyro [deg/s]: {gx:+8.3f} {gy:+8.3f} {gz:+8.3f}"
+                          f"   acc [g]: {ax:+7.4f} {ay:+7.4f} {az:+7.4f}")
+        except KeyboardInterrupt:
+            pass
+        server.log_stop_block(0, args.block_id)
+    return 0
+
+
 def cmd_fly(args) -> int:
     """Run a closed-loop simulated flight and write the 17-col result."""
     import jax
@@ -138,6 +174,15 @@ def main(argv=None) -> int:
     p.add_argument("--local-port", type=int, default=47099)
     p.add_argument("--duration", type=float, default=0.0)
     p.set_defaults(fn=cmd_console)
+
+    p = sub.add_parser("imu", help="echo the gyro/accel log stream")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--peer-port", type=int, required=True)
+    p.add_argument("--local-port", type=int, default=47098)
+    p.add_argument("--block-id", type=int, default=1)
+    p.add_argument("--period-10ms", type=int, default=1)
+    p.add_argument("--duration", type=float, default=0.0)
+    p.set_defaults(fn=cmd_imu)
 
     p = sub.add_parser("fly", help="run a closed-loop simulated flight")
     p.add_argument("--traj", default="hover",

@@ -25,8 +25,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA compiles dominate test wall-time on small
-# hosts; cache across runs so only changed computations recompile.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# hosts; cache across runs so only changed computations recompile.  The dir
+# is keyed by CPU fingerprint — XLA:CPU AOT artifacts from a different
+# machine segfault on load (utils/cache.py).
+from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

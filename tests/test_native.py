@@ -138,3 +138,167 @@ def test_link_server_loopback():
         time.sleep(0.3)
         assert len(drone.recv_some(n_after + 5, timeout=0.3)) == n_after
     drone.close()
+
+
+# ---- full protocol stack against the pure-Python firmware simulator ------
+# (cross-implementation: C++ codec on the server side, struct-based Python
+# on the device side — agreement validates the wire format itself.)
+
+def _wait(pred, timeout=5.0, dt=0.01):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        v = pred()
+        if v:
+            return v
+        time.sleep(dt)
+    return pred()
+
+
+def _poll_port(server, vid, port, timeout=5.0):
+    """Poll downlink packets until one from `port` arrives (skips the
+    console greeting and other traffic)."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        pkt = server.poll_packet(vid)
+        if pkt is not None and pkt[0] >> 4 == port:
+            return pkt
+        time.sleep(0.005)
+    return None
+
+
+def test_param_protocol():
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+
+    with FirmwareSim(47011).serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47011, 47012)
+        pid = fw.param_ids["commander/enHighLevel"]
+
+        # write: firmware table updates and acks with the new value
+        assert server.set_param(1, pid, 1, "uint8")
+        assert _wait(lambda: fw.get_param("commander/enHighLevel") == 1)
+        pkt = _poll_port(server, 1, 0x2)
+        header, payload = pkt
+        assert header >> 4 == 0x2 and header & 0x3 == 1
+        rid, tb = struct.unpack("<HB", payload[:3])
+        assert rid == pid and tb == 0x00 and payload[3] == 1
+
+        # typed float param
+        fid = fw.add_param("posCtlPid/xKp", 0x08, 2.0)
+        assert server.set_param(1, fid, 3.5, "float")
+        assert _wait(lambda: fw.get_param("posCtlPid/xKp") == 3.5)
+
+        # read request → value response
+        time.sleep(0.1)
+        while server.poll_packet(1):
+            pass
+        assert server.request_param(1, fid)
+        pkt = _poll_port(server, 1, 0x2)
+        rid, tb = struct.unpack("<HB", pkt[1][:3])
+        assert rid == fid and tb == 0x08
+        assert struct.unpack("<f", pkt[1][3:7])[0] == 3.5
+
+        # TOC info
+        assert server.request_param_toc_info(1)
+        pkt = _poll_port(server, 1, 0x2)
+        assert pkt[1][0] == 3
+        count, crc = struct.unpack("<HI", pkt[1][1:7])
+        assert count == len(fw.params)
+
+
+def test_log_block_streaming():
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+
+    state = {"gyro.x": 0.5, "gyro.y": -1.5, "gyro.z": 2.5}
+    fw = FirmwareSim(47013, state_provider=lambda n: state.get(n, 0.0))
+    with fw.serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47013, 47014)
+        gx = fw.log_vars["gyro.x"][0]
+        gy = fw.log_vars["gyro.y"][0]
+        gz = fw.log_vars["gyro.z"][0]
+        # create block of 3 floats, start at 10 ms period (start(1) // 10ms)
+        assert server.log_create_block(1, 5, [(7, gx), (7, gy), (7, gz)])
+        assert server.log_start_block(1, 5, 1)
+        rec = _wait(lambda: server.poll_log(1))
+        assert rec is not None and rec["block_id"] == 5
+        assert struct.unpack("<fff", rec["payload"]) == (0.5, -1.5, 2.5)
+
+        # stream continues (10 ms period → many records per second)
+        n0 = 0
+        deadline = time.time() + 2.0
+        while time.time() < deadline and n0 < 10:
+            if server.poll_log(1):
+                n0 += 1
+        assert n0 >= 10
+
+        # stop: stream halts
+        assert server.log_stop_block(1, 5)
+        time.sleep(0.2)
+        while server.poll_log(1):
+            pass
+        time.sleep(0.3)
+        assert server.poll_log(1) is None
+
+
+def test_high_level_commander():
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+
+    with FirmwareSim(47015).serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47015, 47016)
+        assert server.takeoff(1, height=0.6, duration=2.0)
+        assert server.go_to(1, 1.0, -0.5, 0.8, 0.25, 3.0)
+        assert server.land(1, height=0.04, duration=2.5)
+
+        cmds = _wait(lambda: fw.hl_commands
+                     if len(fw.hl_commands) >= 3 else None)
+        assert [c["cmd"] for c in cmds[:3]] == ["takeoff", "go_to", "land"]
+        assert abs(cmds[0]["height"] - 0.6) < 1e-6
+        assert abs(cmds[1]["x"] - 1.0) < 1e-6
+        assert abs(cmds[1]["yaw"] - 0.25) < 1e-6
+        assert abs(cmds[2]["duration"] - 2.5) < 1e-6
+
+
+def test_trajectory_upload():
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+
+    with FirmwareSim(47017).serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47017, 47018)
+        # a poly4d piece is 33 floats (duration + 4*8 coeffs) = 132 B
+        blob = struct.pack("<33f", *(float(i) / 7 for i in range(33))) * 2
+        n = server.upload_trajectory(1, traj_id=3, data=blob, n_pieces=2)
+        assert n == (len(blob) + 23) // 24 + 1
+
+        assert _wait(lambda: 3 in fw.trajectories)
+        off, pieces = fw.trajectories[3]
+        assert (off, pieces) == (0, 2)
+        assert bytes(fw.trajectory_mem[:len(blob)]) == blob
+
+        assert server.start_trajectory(1, 3, timescale=2.0)
+        cmd = _wait(lambda: next((c for c in fw.hl_commands
+                                  if c["cmd"] == "start_trajectory"), None))
+        assert cmd["traj_id"] == 3 and cmd["timescale"] == 2.0
+
+
+def test_console_and_generic_setpoints():
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+
+    with FirmwareSim(47019).serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47019, 47020)
+        # console greeting arrives as a non-log downlink packet
+        pkt = _poll_port(server, 1, 0x0)
+        assert pkt is not None
+        header, payload = pkt
+        assert payload.decode().startswith("CFSIM")
+
+        # hover / position setpoints (cmd_hover / cmd_position topics)
+        assert server.send_hover(1, 0.1, -0.2, 15.0, 0.4)
+        sp = _wait(lambda: fw.last_generic_setpoint)
+        assert sp["type"] == "hover" and abs(sp["z_distance"] - 0.4) < 1e-6
+        assert server.send_position(1, 0.5, 0.6, 0.7, 90.0)
+        sp = _wait(lambda: fw.last_generic_setpoint
+                   if fw.last_generic_setpoint["type"] == "position"
+                   else None)
+        assert abs(sp["x"] - 0.5) < 1e-6 and abs(sp["yaw"] - 90.0) < 1e-6
+
+        # generic raw packet path (srv/sendPacket): platform port echo into
+        # the firmware is at least accepted without error
+        assert server.send_packet(1, 0xD0, b"\x01\x02")

@@ -176,3 +176,25 @@ def test_monte_carlo_swarm_runtime():
     final = np.asarray(res.x[-1, :, :3])
     assert np.abs(final - np.array([0, 0, 0.5])).max() < 0.02
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_imu_echo_tool(capsys):
+    """tools imu attaches, starts a log block, and prints decoded samples
+    (crazyflie_imu.cpp equivalent)."""
+    import pytest
+
+    native = pytest.importorskip("crazyflie_nmpc_tpu.native")
+    del native
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+    from crazyflie_nmpc_tpu.tools import main
+
+    state = {"gyro.x": 1.0, "gyro.y": 2.0, "gyro.z": 3.0,
+             "acc.x": 0.0, "acc.y": 0.0, "acc.z": 1.0}
+    with FirmwareSim(47041,
+                     state_provider=lambda n: state.get(n, 0.0)).serve():
+        rc = main(["imu", "--peer-port", "47041", "--local-port", "47042",
+                   "--duration", "1.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gyro [deg/s]" in out
+    assert "+1.000" in out and "+3.000" in out
