@@ -1,0 +1,397 @@
+"""Named bringup compositions — the launch-file layer as code.
+
+The reference composes its stack with ~40 roslaunch files (SURVEY.md
+§2.1/§2.4).  Here each headline bringup is a named function that wires the
+same components together and runs them; `python -m crazyflie_nmpc_tpu.bringup
+<name>` is the `roslaunch` equivalent.  Mapping:
+
+| reference launch                  | bringup here            |
+|-----------------------------------|-------------------------|
+| acados_predictor.launch           | nmpc_predictor          |
+| crazy_AFL.launch (fake mocap)     | nmpc_attitude_bench     |
+| crazyflie2.launch + demo.py       | pid_waypoints           |
+| system_identification.launch      | system_identification   |
+| hover.launch / Hover.py           | hover_demo              |
+| position.launch / Position.py     | position_demo           |
+| multi_hover_*.launch              | multi_hover             |
+| teleop_*.launch                   | teleop                  |
+
+Each returns a plain dict of results so callers/tests can assert on them.
+Bringups that exercise the radio path spin up the native link server
+against the firmware simulator on localhost UDP — the same seam a real
+Crazyradio bridge would occupy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _jax_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+    return jax
+
+
+def nmpc_predictor(steps: int = 660, delay: float = 0.06,
+                   traj: str = "helix", f64: bool = True):
+    """acados_predictor.launch: the full NMPC pipeline — tracking the helix
+    reference with the delay-compensating estimator at delay=0.06 s
+    (acados_predictor.launch:56-65)."""
+    jax = _jax_cpu()
+    if f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+    from crazyflie_nmpc_tpu.runtime import LoopConfig, trajectory_tracking
+    from crazyflie_nmpc_tpu.solver import default_ocp
+    from crazyflie_nmpc_tpu.utils import (
+        helix_trajectory,
+        smooth_step_trajectory,
+    )
+
+    dtype = jnp.float64 if f64 else jnp.float32
+    spec = default_ocp(dtype=dtype)
+    table = (helix_trajectory(spec.params) if traj == "helix"
+             else smooth_step_trajectory(spec.params)).astype(dtype)
+    delay_steps = int(round(delay / float(spec.dt)))
+    cfg = LoopConfig(delay_steps=delay_steps, ipm=IPMConfig(iters=8))
+    steps = min(steps, table.shape[0] - 1)
+    res = trajectory_tracking(spec, jnp.asarray(table[0, :13]), table,
+                              steps=steps, config=cfg)
+    track = np.asarray(res.policy_mode) == 1
+    err = np.abs(np.asarray(res.x)[track, :3]
+                 - np.asarray(table)[:int(track.sum()), :3])
+    return {"result": res, "tracking_err_max": float(err.max()),
+            "kkt_max": float(np.max(np.asarray(res.kkt_res))),
+            "delay_steps": delay_steps}
+
+
+def nmpc_attitude_bench(steps: int = 300, port: int = 47051):
+    """crazy_AFL.launch: the NMPC bench against the *fake* mocap bridge
+    (constant origin at 10 Hz) with cmd_vel recorded at the device side —
+    the reference's full-pipeline smoke test (crazy_AFL.launch:33-89,
+    publish_external_position_fake.py:14-24)."""
+    jax = _jax_cpu()
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.demo import FakeMocapBridge
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+    from crazyflie_nmpc_tpu.solver import (
+        default_ocp,
+        hover_yref,
+        init_rti,
+        rti_step,
+        to_cmd_vel,
+    )
+
+    spec = default_ocp(dtype=jnp.float32)
+    # regulation set-point at the fake mocap's origin: bench expects a
+    # level-attitude, hover-thrust response
+    yref, yref_e = hover_yref(spec, pos=(0.0, 0.0, 0.0))
+    step = jax.jit(lambda s, x: rti_step(spec, s, x, yref, yref_e,
+                                         IPMConfig(iters=8)))
+    cmd_vel_log = []
+    with native.FirmwareSim(port).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        bridge = FakeMocapBridge(server, 1, sleep=lambda _dt: None)
+
+        # "motors disarmed": the state fed to the NMPC is the fake-mocap
+        # origin-at-rest state; the controller's attitude/thrust response
+        # is what the bench records.
+        x_hat = hover_state(spec.params, dtype=jnp.float32)
+        rti = init_rti(spec, x_hat)
+        for _ in range(steps):
+            bridge.step()
+            rti, out = step(rti, x_hat)
+            cmd = to_cmd_vel(out.u1, out.x_at(4))
+            server.send_setpoint(1, float(cmd.roll_deg),
+                                 float(cmd.pitch_deg),
+                                 float(cmd.yawrate_deg),
+                                 int(cmd.thrust_pwm))
+            cmd_vel_log.append((float(cmd.roll_deg), float(cmd.pitch_deg),
+                                float(cmd.yawrate_deg),
+                                int(cmd.thrust_pwm)))
+        import time
+
+        deadline = time.time() + 2.0
+        while fw.last_setpoint is None and time.time() < deadline:
+            time.sleep(0.01)
+        stats = server.stats(1)
+        device_setpoint = fw.last_setpoint
+        mocap_published = bridge.published
+    return {"cmd_vel": np.asarray(cmd_vel_log), "link_stats": stats,
+            "device_setpoint": device_setpoint,
+            "mocap_published": mocap_published}
+
+
+def pid_waypoints(goals=None, max_steps: int = 4000):
+    """crazyflie2.launch + demo.py: PID waypoint navigation with the
+    0.3 m / 10 deg advance rule, on the grounded plant."""
+    _jax_cpu()
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import pid as pidm
+    from crazyflie_nmpc_tpu.demo import WaypointSequencer
+    from crazyflie_nmpc_tpu.models import (
+        QuadrotorParams,
+        dynamics,
+        hover_state,
+        rotations,
+    )
+    from crazyflie_nmpc_tpu.ops.integrators import rk4_step
+    from crazyflie_nmpc_tpu.solver.outputs import pwm2krpm
+
+    goals = goals or [(0.0, 0.0, 0.6, 0.0, 0.2), (0.0, 0.0, 0.9, 0.0, 0.2)]
+    dt = 0.02  # 50 Hz (controller.cpp:254)
+    params = QuadrotorParams()
+    gains = pidm.default_gains(jnp.float32)
+    st = pidm.init_pid()
+    x = hover_state(params, pos=(0.0, 0.0, 0.0), dtype=jnp.float32)
+    st = pidm.takeoff(st, x[2])
+
+    goal_box = {"g": goals[0][:4]}
+    seq = WaypointSequencer(goals,
+                            lambda *g: goal_box.__setitem__("g", g))
+    visited = []
+    t = 0.0
+    for k in range(max_steps):
+        rpy = rotations.quat_to_euler(x[3:7])
+        alive = seq.tick((float(x[0]), float(x[1]), float(x[2]),
+                          float(rpy[2])), t)
+        visited.append(seq.index)
+        if not alive:
+            break
+        gx, gy, gz, gyaw = goal_box["g"]
+        st, cmd = pidm.pid_step(gains, st, x,
+                                jnp.array([gx, gy, gz], jnp.float32),
+                                gyaw, dt)
+        krpm = jnp.clip(pwm2krpm(cmd.thrust), 0.0, 22.0)
+        u = jnp.full((4,), krpm)
+        x_next = rk4_step(dynamics, params, x, u, dt)
+        on_ground = (x_next[2] <= 0.0) & (x_next[9] <= 0.0)
+        x = jnp.where(on_ground, x_next.at[2].set(0.0).at[9].set(0.0),
+                      x_next)
+        t += dt
+    return {"waypoints_reached": max(visited) + (0 if alive else 1),
+            "n_goals": len(goals), "completed": not alive,
+            "final_z": float(x[2]), "steps": k + 1}
+
+
+def system_identification(steps: int = 400, port: int = 47053):
+    """system_identification.launch: stream motor + state logs at 100 Hz
+    through the link and assemble the sysid measurement table
+    (measurements_vector.cpp pipeline + log blocks at 10 ms)."""
+    _jax_cpu()
+    import struct
+    import time
+
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.estimator.sysid import assemble_measurements
+    from crazyflie_nmpc_tpu.models import (
+        QuadrotorParams,
+        dynamics,
+        hover_state,
+        rotations,
+    )
+    from crazyflie_nmpc_tpu.ops.integrators import rk4_step
+
+    params = QuadrotorParams()
+    dt = 0.01  # 100 Hz stream (system_identification.launch:33-40)
+    # plant: gentle torque-balanced climb from hover (open-loop stable
+    # enough over 4 s)
+    x = hover_state(params, dtype=jnp.float32)
+    uss = float(params.hover_speed())
+
+    plant = {"x": x, "k": 0}
+
+    def provider(name):
+        xs = plant["x"]
+        rpy = rotations.quat_to_euler(xs[3:7])
+        table = {
+            "stateEstimate.x": float(xs[0]), "stateEstimate.y": float(xs[1]),
+            "stateEstimate.z": float(xs[2]),
+            "stabilizer.roll": float(jnp.rad2deg(rpy[0])),
+            "stabilizer.pitch": float(jnp.rad2deg(rpy[1])),
+            "stabilizer.yaw": float(jnp.rad2deg(rpy[2])),
+            "gyro.x": float(jnp.rad2deg(xs[10])),
+            "gyro.y": float(jnp.rad2deg(xs[11])),
+            "gyro.z": float(jnp.rad2deg(xs[12])),
+            "motor.m1": uss, "motor.m2": uss, "motor.m3": uss,
+            "motor.m4": uss,
+        }
+        return table.get(name, 0.0)
+
+    with native.FirmwareSim(port, state_provider=provider).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        pos_ids = [fw.log_vars[n][0] for n in
+                   ("stateEstimate.x", "stateEstimate.y", "stateEstimate.z")]
+        att_ids = [fw.log_vars[n][0] for n in
+                   ("stabilizer.roll", "stabilizer.pitch", "stabilizer.yaw")]
+        gyr_ids = [fw.log_vars[n][0] for n in
+                   ("gyro.x", "gyro.y", "gyro.z")]
+        server.log_create_block(1, 1, [(7, i) for i in pos_ids])
+        server.log_create_block(1, 2, [(7, i) for i in att_ids])
+        server.log_create_block(1, 3, [(7, i) for i in gyr_ids])
+        for bid in (1, 2, 3):
+            server.log_start_block(1, bid, 1)  # 10 ms period
+
+        rows = {1: [], 2: [], 3: []}
+        deadline = time.time() + 20.0
+        while (min(len(v) for v in rows.values()) < steps
+               and time.time() < deadline):
+            rec = server.poll_log(1)
+            if rec is None:
+                # advance the plant at the stream rate
+                plant["x"] = rk4_step(dynamics, params, plant["x"],
+                                      jnp.full((4,), uss), dt)
+                time.sleep(0.001)
+                continue
+            if rec["block_id"] in rows and len(rec["payload"]) >= 12:
+                rows[rec["block_id"]].append(
+                    struct.unpack("<fff", rec["payload"][:12]))
+        n = min(len(v) for v in rows.values())
+        positions = np.asarray(rows[1][:n])
+        eulers = np.deg2rad(np.asarray(rows[2][:n]))
+        gyros = np.deg2rad(np.asarray(rows[3][:n]))
+    meas = assemble_measurements(jnp.asarray(positions),
+                                 jnp.asarray(eulers), jnp.asarray(gyros),
+                                 dt=0.01)
+    return {"measurements": np.asarray(meas), "rows": n}
+
+
+def hover_demo(port: int = 47055):
+    """hover.launch + Hover.py through the real link + firmware sim."""
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.demo import HoverDemo
+
+    with native.FirmwareSim(port).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        demo = HoverDemo(server, 1, sleep=lambda dt: __import__(
+            "time").sleep(min(dt, 0.002)))
+        demo.take_off(0.4)
+        demo.go_to(0.2, 0.0, 0.4)
+        demo.land()
+        import time
+
+        deadline = time.time() + 2.0
+        while time.time() < deadline:
+            sp = fw.last_generic_setpoint
+            if sp and sp["type"] == "stop":
+                break
+            time.sleep(0.01)
+        return {"final_setpoint": fw.last_generic_setpoint,
+                "stats": server.stats(1)}
+
+
+def position_demo(port: int = 47057):
+    """position.launch + Position.py through the link + firmware sim."""
+    import time
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.demo import position_demo as run_position
+
+    with native.FirmwareSim(port).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        sent = run_position(server, 1, target=(0.0, 0.0, 0.4),
+                            sleep=lambda dt: time.sleep(min(dt, 0.002)),
+                            kalman_reset_param=fw.param_ids[
+                                "kalman/resetEstimation"])
+        deadline = time.time() + 2.0
+        while time.time() < deadline:
+            sp = fw.last_generic_setpoint
+            if sp and sp["type"] == "stop":
+                break
+            time.sleep(0.01)
+        return {"setpoints_sent": len(sent),
+                "final_setpoint": fw.last_generic_setpoint}
+
+
+def multi_hover(n: int = 2, base_port: int = 47060):
+    """multi_hover_*.launch: N vehicles, one hover plan per thread."""
+    import contextlib
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.demo.hover import run_two_vehicle_demo
+
+    with contextlib.ExitStack() as stack:
+        fws = [stack.enter_context(
+            native.FirmwareSim(base_port + 2 * i).serve())
+            for i in range(n)]
+        server = stack.enter_context(native.LinkServer())
+        for i in range(n):
+            server.add_vehicle(i + 1, "127.0.0.1", base_port + 2 * i,
+                               base_port + 2 * i + 1)
+        demos = run_two_vehicle_demo(
+            server, vids=tuple(range(1, n + 1)),
+            sleep=lambda dt: __import__("time").sleep(min(dt, 0.001)))
+        return {"vehicles": n,
+                "landed": all(d.z_distance == 0.0 for d in demos),
+                "stats": [server.stats(i + 1) for i in range(n)]}
+
+
+def teleop(ticks: int = 50, port: int = 47070):
+    """teleop_*.launch: joystick axis mapping streaming cmd_vel at 100 Hz
+    (axes scripted — no joystick hardware in this environment)."""
+    import time
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.demo import Teleop
+
+    with native.FirmwareSim(port).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        tele = Teleop(server, 1, axes_source=lambda: (0.1, -0.1, 0.0, 0.2),
+                      sleep=lambda dt: time.sleep(min(dt, 0.001)))
+        tele.run(ticks)
+        deadline = time.time() + 2.0
+        while fw.last_setpoint is None and time.time() < deadline:
+            time.sleep(0.01)
+        return {"device_setpoint": fw.last_setpoint,
+                "stats": server.stats(1)}
+
+
+BRINGUPS = {
+    "nmpc_predictor": nmpc_predictor,
+    "nmpc_attitude_bench": nmpc_attitude_bench,
+    "pid_waypoints": pid_waypoints,
+    "system_identification": system_identification,
+    "hover_demo": hover_demo,
+    "position_demo": position_demo,
+    "multi_hover": multi_hover,
+    "teleop": teleop,
+}
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="crazyflie_nmpc_tpu.bringup")
+    ap.add_argument("name", choices=sorted(BRINGUPS))
+    args = ap.parse_args(argv)
+    out = BRINGUPS[args.name]()
+    for k, v in out.items():
+        if isinstance(v, np.ndarray):
+            v = f"array{v.shape}"
+        elif hasattr(v, "_fields") or str(type(v)).startswith(
+                "<class 'crazyflie"):
+            v = type(v).__name__
+        print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,65 @@
+"""Bringup compositions — launch-file-equivalent wiring (SURVEY §2.1/2.4).
+
+These are integration tests of the assembled stacks; the slow NMPC ones
+are covered by test_closed_loop.py, so nmpc_predictor runs short here.
+"""
+
+import numpy as np
+import pytest
+
+from crazyflie_nmpc_tpu import bringup
+
+
+def test_registry_covers_headline_launches():
+    assert {"nmpc_predictor", "nmpc_attitude_bench", "pid_waypoints",
+            "system_identification", "hover_demo", "position_demo",
+            "multi_hover", "teleop"} <= set(bringup.BRINGUPS)
+
+
+def test_nmpc_attitude_bench():
+    out = bringup.nmpc_attitude_bench(steps=40, port=47151)
+    # fake mocap kept publishing, the device saw cmd_vel setpoints, and the
+    # hover-at-origin solution commands ~level attitude + hover thrust
+    assert out["mocap_published"] == 40
+    assert out["device_setpoint"] is not None
+    cmd = out["cmd_vel"]
+    assert cmd.shape == (40, 4)
+    assert np.abs(cmd[-1, 0]) < 1.0 and np.abs(cmd[-1, 1]) < 1.0  # deg
+    assert 30000 < cmd[-1, 3] < 60000  # hover-ish PWM
+
+
+def test_pid_waypoints_completes():
+    out = bringup.pid_waypoints(max_steps=4000)
+    assert out["completed"], out
+    assert out["waypoints_reached"] == out["n_goals"]
+    assert out["final_z"] > 0.4
+
+
+def test_system_identification_capture():
+    out = bringup.system_identification(steps=60, port=47153)
+    assert out["rows"] >= 60
+    meas = out["measurements"]
+    assert meas.shape[1] == 13
+    # hovering plant: z stays near start, quaternion ~ identity
+    assert abs(meas[-1, 3] - 1.0) < 0.05   # qw
+    assert np.all(np.isfinite(meas))
+
+
+def test_hover_and_position_and_teleop_bringups():
+    out = bringup.hover_demo(port=47155)
+    assert out["final_setpoint"]["type"] == "stop"
+    out = bringup.position_demo(port=47157)
+    assert out["final_setpoint"]["type"] == "stop"
+    assert out["setpoints_sent"] > 30
+    out = bringup.teleop(ticks=30, port=47159)
+    sp = out["device_setpoint"]
+    assert sp is not None
+    roll, pitch, yawrate, thrust = sp
+    assert roll == pytest.approx(3.0) and pitch == pytest.approx(-3.0)
+    assert thrust == 36000
+
+
+def test_multi_hover_two_vehicles():
+    out = bringup.multi_hover(n=2, base_port=47161)
+    assert out["vehicles"] == 2 and out["landed"]
+    assert all(s["sent"] > 0 for s in out["stats"])

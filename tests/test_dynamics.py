@@ -122,3 +122,26 @@ def test_rotation_consistency_with_dynamics(params):
     v_earth = rotations.rotmat_body_to_earth(x[3:7]) @ x[7:10]
     np.testing.assert_allclose(np.asarray(xdot[:3]), np.asarray(v_earth),
                                atol=1e-12)
+
+
+def test_description_presets():
+    """crazyflie_description equivalents: URDF vs identified params."""
+    from crazyflie_nmpc_tpu.models import description as desc
+
+    ident = desc.cf21_identified()
+    assert float(ident.mq) == 33e-3            # sysid mass incl. marker
+    urdf2 = desc.cf2_urdf()
+    assert float(urdf2.mq) == 0.027            # crazyflie2.urdf.xacro:10
+    assert float(urdf2.Izz) == 3.2347e-5
+    urdf1 = desc.cf1_urdf()
+    assert float(urdf1.mq) == 0.019
+    assert desc.params_for("cf2_urdf").mq == urdf2.mq
+    # overrides compose (Monte-Carlo perturbation entry point)
+    heavy = desc.params_for("cf21_identified", mq=0.040)
+    assert float(heavy.mq) == 0.040
+    import pytest
+
+    with pytest.raises(KeyError):
+        desc.params_for("cf3")
+    # hover speed ordering follows mass
+    assert float(heavy.hover_speed()) > float(ident.hover_speed())
