@@ -39,11 +39,19 @@ class BatchSolution(NamedTuple):
 
 
 def from_qpdata(qp: QPData) -> dict:
-    """Vmapped (batch-first) QPData -> batch-last array dict."""
+    """Vmapped (batch-first) QPData -> batch-last array dict.
+
+    The fused kernels exploit the reference cost structure: Qxx/Ruu/P
+    diagonal, S = 0 (LLS cost with selector Vx/Vu, generate_c_code.py:
+    86-107).  Only the diagonals are extracted — callers with genuinely
+    dense cost blocks must use `ops.ipm` instead.
+    """
     bl = lambda x: jnp.moveaxis(x, 0, -1)
-    return dict(A=bl(qp.A), B=bl(qp.B), c=bl(qp.c), Qxx=bl(qp.Qxx),
-                qx=bl(qp.qx), Ruu=bl(qp.Ruu), ru=bl(qp.ru), S=bl(qp.S),
-                P=bl(qp.P), p=bl(qp.p), lb=bl(qp.lb), ub=bl(qp.ub),
+    diag = lambda x: jnp.diagonal(x, axis1=-2, axis2=-1)
+    return dict(A=bl(qp.A), B=bl(qp.B), c=bl(qp.c),
+                qxx=bl(diag(qp.Qxx)), qx=bl(qp.qx),
+                ruu=bl(diag(qp.Ruu)), ru=bl(qp.ru),
+                pT=bl(diag(qp.P)), p=bl(qp.p), lb=bl(qp.lb), ub=bl(qp.ub),
                 dx0=bl(qp.dx0))
 
 
@@ -54,20 +62,21 @@ def _max_step_lane(v, dv, tau):
 
 
 def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
-                  block_b: int = 256, stages_per_step: int = 1,
-                  interpret: bool = False) -> BatchSolution:
-    """Solve a batch of box-constrained multistage QPs (batch-last layout).
+                  block_b: int = 128, stages_per_step: int = 1,
+                  interpret: bool = False,
+                  fused: bool = True) -> BatchSolution:
+    """Solve a batch of box-constrained multistage QPs (batch-last layout,
+    diagonal cost — see `from_qpdata`).
 
     All (B,) problems run in lockstep with per-lane step lengths; infinite
     bounds are masked exactly as in `ops.ipm`.
     """
     A, Bm, c = qp["A"], qp["B"], qp["c"]
-    Qxx, qx, Ruu, ru, S = qp["Qxx"], qp["qx"], qp["Ruu"], qp["ru"], qp["S"]
-    P_T, p_T = qp["P"], qp["p"]
+    qxx, qx, ruu, ru = qp["qxx"], qp["qx"], qp["ruu"], qp["ru"]
+    pT_diag, p_T = qp["pT"], qp["p"]
     N, nu, B = ru.shape
     nx = c.shape[1]
     dtype = c.dtype
-    eye_u = jnp.eye(nu, dtype=dtype)[None, :, :, None]
 
     kern = dict(block_b=block_b, stages_per_step=stages_per_step,
                 interpret=interpret)
@@ -105,20 +114,24 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
               + jnp.sum(lam_u * s_u * finite_u, axis=(0, 1))) / n_ineq
         sig_l = jnp.where(finite_l, lam_l / s_l, 0.0)
         sig_u = jnp.where(finite_u, lam_u / s_u, 0.0)
-        sigma_diag = sig_l + sig_u                        # (N, nu, B)
-        Ruu_shift = Ruu + eye_u * sigma_diag[:, None, :, :]
+        ruu_shift = ruu + sig_l + sig_u                   # (N, nu, B) diag
 
         r5l = lam_l * s_l
         r5u = lam_u * s_u
         rt1u = (r1u + jnp.where(finite_l, (r5l + lam_l * r3) / s_l, 0.0)
                 - jnp.where(finite_u, (r5u + lam_u * r4) / s_u, 0.0))
 
-        # ---- predictor: fused factorization + affine backward, forward
-        K, kff_a, L, P_next = rk.backward_sweep(
-            A, Bm, -r2[1:], Qxx, r1x[:-1], Ruu_shift, rt1u, S,
-            P_T, r1x[-1], **kern)
-        ddx_a, ddu_a = rk.forward_sweep(A, Bm, -r2[1:], K, kff_a,
-                                        -r2[0], **kern)
+        # ---- predictor: factorization + affine backward + forward rollout
+        if fused:  # one kernel launch
+            K, kff_a, L, Pc, ddx_a, ddu_a = rk.kkt_sweep(
+                A, Bm, -r2[1:], qxx, r1x[:-1], ruu_shift, rt1u,
+                pT_diag, r1x[-1], -r2[0], **kern)
+        else:
+            K, kff_a, L, Pc = rk.backward_sweep(
+                A, Bm, -r2[1:], qxx, r1x[:-1], ruu_shift, rt1u,
+                pT_diag, r1x[-1], **kern)
+            ddx_a, ddu_a = rk.forward_sweep(A, Bm, -r2[1:], K, kff_a,
+                                            -r2[0], **kern)
 
         ds_l_a = jnp.where(finite_l, ddu_a + r3, 0.0)
         ds_u_a = jnp.where(finite_u, r4 - ddu_a, 0.0)
@@ -148,9 +161,15 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
         r5u_c = r5u - sigma * mu + ds_u_a * dlam_u_a
         rt1u_c = (r1u + jnp.where(finite_l, (r5l_c + lam_l * r3) / s_l, 0.0)
                   - jnp.where(finite_u, (r5u_c + lam_u * r4) / s_u, 0.0))
-        kff_c = rk.backward_vector_sweep(
-            A, Bm, -r2[1:], r1x[:-1], rt1u_c, K, L, P_next, r1x[-1], **kern)
-        ddx, ddu = rk.forward_sweep(A, Bm, -r2[1:], K, kff_c, -r2[0], **kern)
+        if fused:
+            ddx, ddu = rk.corrector_sweep(
+                A, Bm, -r2[1:], r1x[:-1], rt1u_c, K, L, Pc, r1x[-1],
+                -r2[0], **kern)
+        else:
+            kff_c = rk.backward_vector_sweep(
+                A, Bm, r1x[:-1], rt1u_c, K, L, Pc, r1x[-1], **kern)
+            ddx, ddu = rk.forward_sweep(A, Bm, -r2[1:], K, kff_c, -r2[0],
+                                        **kern)
 
         ds_l = jnp.where(finite_l, ddu + r3, 0.0)
         ds_u = jnp.where(finite_u, r4 - ddu, 0.0)

@@ -30,7 +30,7 @@ class SwarmResult(NamedTuple):
 
 def swarm_hover(spec: OCPSpec, x_inits: jax.Array, setpoints: jax.Array,
                 steps: int, config: ipm.IPMConfig = ipm.IPMConfig(iters=8),
-                plant_substeps: int = 1, block_b: int = 256,
+                plant_substeps: int = 1, block_b: int = 128,
                 interpret: bool = False) -> SwarmResult:
     """Closed-loop regulation for B independent vehicles in lockstep.
 

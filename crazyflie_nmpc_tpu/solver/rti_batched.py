@@ -26,7 +26,7 @@ from crazyflie_nmpc_tpu.solver.rti import RTIOutput, RTIState
 def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      yref: jax.Array, yref_e: jax.Array,
                      config: ipm.IPMConfig = ipm.IPMConfig(),
-                     block_b: int = 256, stages_per_step: int = 1,
+                     block_b: int = 128, stages_per_step: int = 1,
                      interpret: bool = False):
     """One RTI iteration for a batch of problems.
 

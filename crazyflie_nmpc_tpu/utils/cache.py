@@ -27,10 +27,20 @@ def _cpu_fingerprint() -> str:
 
 
 def setup_compilation_cache(base: str = "/tmp/jax_cache",
-                            min_compile_secs: float = 0.5) -> str:
-    """Point JAX's persistent cache at a host-specific directory."""
+                            min_compile_secs: float = 0.5) -> str | None:
+    """Point JAX's persistent cache at a host-specific directory.
+
+    On the CPU backend the cache is left DISABLED: this jaxlib's XLA:CPU
+    AOT deserialization intermittently segfaults even on same-host entries
+    (observed twice in CI at `compilation_cache.get_executable_and_time`,
+    preceded by 'Machine type used for XLA:CPU compilation doesn't match'
+    loader errors).  TPU executables don't go through that loader, so the
+    cache stays on where it matters (bench / serving startup).
+    """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return None
     path = f"{base}_{_cpu_fingerprint()}"
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -1,4 +1,11 @@
-"""Pallas kernel parity vs the XLA reference path (interpret mode on CPU)."""
+"""Pallas kernel parity vs the XLA reference path (interpret mode on CPU).
+
+The fused kernels take the cost as DIAGONALS (the reference LLS cost
+structure: Qxx/Ruu/W_e diagonal, S = 0 — generate_c_code.py:62-129); the
+reference `ops.riccati`/`ops.ipm` path consumes the same problems with the
+diagonals embedded dense, so agreement checks both the algebra and the
+structure exploitation.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,22 +16,45 @@ from crazyflie_nmpc_tpu.ops import ipm, ipm_fast, riccati
 from crazyflie_nmpc_tpu.ops.pallas import riccati_kernels as rk
 from crazyflie_nmpc_tpu.ops.qp import QPData
 
-from test_ipm import make_qp
-from test_riccati import random_lq
-
 B = 8
 N = 10
 NXD, NUD = 13, 4
 KERN = dict(block_b=B, stages_per_step=5, interpret=True)
 
 
+def random_diag_lq(key, N=N, nx=NXD, nu=NUD, dtype=jnp.float32):
+    """Random stage-structured LQ problem with diagonal cost (the fused
+    kernels' contract).  Dense embeddings included for the reference path."""
+    ks = jax.random.split(key, 12)
+    A = 0.9 * jax.random.normal(ks[0], (N, nx, nx), dtype) / float(np.sqrt(nx))
+    A = A + jnp.eye(nx, dtype=dtype) * 0.5
+    Bm = jax.random.normal(ks[1], (N, nx, nu), dtype)
+    c = 0.1 * jax.random.normal(ks[2], (N, nx), dtype)
+    qxx = 0.2 + jax.random.uniform(ks[3], (N, nx), dtype)
+    ruu = 0.2 + jax.random.uniform(ks[4], (N, nu), dtype)
+    qx = jax.random.normal(ks[6], (N, nx), dtype)
+    ru = jax.random.normal(ks[7], (N, nu), dtype)
+    pT = 0.2 + jax.random.uniform(ks[8], (nx,), dtype)
+    p = jax.random.normal(ks[9], (nx,), dtype)
+    dx0 = jax.random.normal(ks[10], (nx,), dtype)
+    dense = dict(
+        A=A, B=Bm, c=c, qx=qx, ru=ru, p_term=p, dx0=dx0,
+        Qxx=jax.vmap(jnp.diag)(qxx),
+        Ruu=jax.vmap(jnp.diag)(ruu),
+        S=jnp.zeros((N, nu, nx), dtype),
+        P_term=jnp.diag(pT),
+    )
+    return dict(A=A, B=Bm, c=c, qxx=qxx, ruu=ruu, qx=qx, ru=ru, pT=pT,
+                p_term=p, dx0=dx0), dense
+
+
 def batch_lq(key):
     keys = jax.random.split(key, B)
-    lqs = [random_lq(k, N=N, nx=NXD, nu=NUD, dtype=jnp.float32)
-           for k in keys]
-    batched = jax.tree.map(lambda *xs: jnp.stack(xs).astype(jnp.float32),
-                           *lqs)
-    return batched
+    pairs = [random_diag_lq(k) for k in keys]
+    f32 = lambda *xs: jnp.stack(xs).astype(jnp.float32)
+    diag = jax.tree.map(f32, *[d for d, _ in pairs])
+    dense = jax.tree.map(f32, *[d for _, d in pairs])
+    return diag, dense
 
 
 def bl(x):
@@ -32,28 +62,31 @@ def bl(x):
 
 
 def test_backward_forward_match_sequential():
-    lq = batch_lq(jax.random.PRNGKey(0))
-    fr = jax.vmap(riccati.factorize)(lq["A"], lq["B"], lq["Qxx"], lq["Ruu"],
-                                     lq["S"], lq["P_term"])
+    diag, dense = batch_lq(jax.random.PRNGKey(0))
+    fr = jax.vmap(riccati.factorize)(dense["A"], dense["B"], dense["Qxx"],
+                                     dense["Ruu"], dense["S"],
+                                     dense["P_term"])
     kf_ref, _ = jax.vmap(riccati.backward_vector)(
-        fr, lq["A"], lq["B"], lq["qx"], lq["ru"], lq["c"], lq["p_term"])
+        fr, dense["A"], dense["B"], dense["qx"], dense["ru"], dense["c"],
+        dense["p_term"])
     dx_ref, du_ref = jax.vmap(riccati.forward_rollout)(
-        fr, kf_ref, lq["A"], lq["B"], lq["c"], lq["dx0"])
+        fr, kf_ref, dense["A"], dense["B"], dense["c"], dense["dx0"])
 
-    K, kff, L, Pn = rk.backward_sweep(
-        bl(lq["A"]), bl(lq["B"]), bl(lq["c"]), bl(lq["Qxx"]), bl(lq["qx"]),
-        bl(lq["Ruu"]), bl(lq["ru"]), bl(lq["S"]), bl(lq["P_term"]),
-        bl(lq["p_term"]), **KERN)
+    K, kff, L, Pc = rk.backward_sweep(
+        bl(diag["A"]), bl(diag["B"]), bl(diag["c"]), bl(diag["qxx"]),
+        bl(diag["qx"]), bl(diag["ruu"]), bl(diag["ru"]), bl(diag["pT"]),
+        bl(diag["p_term"]), **KERN)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(K, -1, 0)),
                                np.asarray(fr.K), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Pn, -1, 0)),
-                               np.asarray(fr.P[:, 1:]), rtol=2e-4,
-                               atol=2e-4)
+    # Pc[k] must be P_{k+1} c_k
+    Pc_ref = jnp.einsum("bnij,bnj->bni", fr.P[:, 1:], dense["c"])
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Pc, -1, 0)),
+                               np.asarray(Pc_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(kff, -1, 0)),
                                np.asarray(kf_ref), rtol=2e-4, atol=2e-4)
 
-    dx, du = rk.forward_sweep(bl(lq["A"]), bl(lq["B"]), bl(lq["c"]), K, kff,
-                              bl(lq["dx0"]), **KERN)
+    dx, du = rk.forward_sweep(bl(diag["A"]), bl(diag["B"]), bl(diag["c"]),
+                              K, kff, bl(diag["dx0"]), **KERN)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(du, -1, 0)),
                                np.asarray(du_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(dx, -1, 0)),
@@ -61,38 +94,47 @@ def test_backward_forward_match_sequential():
 
 
 def test_vector_sweep_second_rhs():
-    lq = batch_lq(jax.random.PRNGKey(1))
-    fr = jax.vmap(riccati.factorize)(lq["A"], lq["B"], lq["Qxx"], lq["Ruu"],
-                                     lq["S"], lq["P_term"])
+    diag, dense = batch_lq(jax.random.PRNGKey(1))
+    fr = jax.vmap(riccati.factorize)(dense["A"], dense["B"], dense["Qxx"],
+                                     dense["Ruu"], dense["S"],
+                                     dense["P_term"])
     kf2_ref, _ = jax.vmap(riccati.backward_vector)(
-        fr, lq["A"], lq["B"], 2.0 * lq["qx"], -0.5 * lq["ru"], lq["c"],
-        0.3 * lq["p_term"])
+        fr, dense["A"], dense["B"], 2.0 * dense["qx"], -0.5 * dense["ru"],
+        dense["c"], 0.3 * dense["p_term"])
 
-    K, kff, L, Pn = rk.backward_sweep(
-        bl(lq["A"]), bl(lq["B"]), bl(lq["c"]), bl(lq["Qxx"]), bl(lq["qx"]),
-        bl(lq["Ruu"]), bl(lq["ru"]), bl(lq["S"]), bl(lq["P_term"]),
-        bl(lq["p_term"]), **KERN)
+    K, kff, L, Pc = rk.backward_sweep(
+        bl(diag["A"]), bl(diag["B"]), bl(diag["c"]), bl(diag["qxx"]),
+        bl(diag["qx"]), bl(diag["ruu"]), bl(diag["ru"]), bl(diag["pT"]),
+        bl(diag["p_term"]), **KERN)
     kff2 = rk.backward_vector_sweep(
-        bl(lq["A"]), bl(lq["B"]), bl(lq["c"]), bl(2.0 * lq["qx"]),
-        bl(-0.5 * lq["ru"]), K, L, Pn, bl(0.3 * lq["p_term"]), **KERN)
+        bl(diag["A"]), bl(diag["B"]), bl(2.0 * diag["qx"]),
+        bl(-0.5 * diag["ru"]), K, L, Pc, bl(0.3 * diag["p_term"]), **KERN)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(kff2, -1, 0)),
                                np.asarray(kf2_ref), rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("bounded", [False, True])
 def test_ipm_fast_matches_ipm(bounded):
-    """Full fast-IPM vs reference IPM on a batch of bounded QPs."""
+    """Full fast-IPM vs reference IPM on a batch of bounded diag-cost QPs."""
     keys = jax.random.split(jax.random.PRNGKey(2), B)
     qps = []
     for k in keys:
-        qp_inf, lq = make_qp(k, N=N, nx=NXD, nu=NUD)
+        diag, dense = random_diag_lq(k)
+        lq = dict(A=dense["A"], B=dense["B"], c=dense["c"],
+                  Qxx=dense["Qxx"], qx=dense["qx"], Ruu=dense["Ruu"],
+                  ru=dense["ru"], S=dense["S"], P_term=dense["P_term"],
+                  p_term=dense["p_term"], dx0=dense["dx0"])
+        lb = jnp.full((N, NUD), -jnp.inf)
+        ub = jnp.full((N, NUD), jnp.inf)
         if bounded:
             _, du_ref = riccati.solve_lq(**lq)
             lim = 0.5 * float(jnp.max(jnp.abs(du_ref)))
-            qp_inf = QPData(**{**qp_inf.__dict__,
-                               "lb": jnp.full_like(qp_inf.lb, -lim),
-                               "ub": jnp.full_like(qp_inf.ub, lim)})
-        qps.append(qp_inf)
+            lb = jnp.full((N, NUD), -lim)
+            ub = jnp.full((N, NUD), lim)
+        qps.append(QPData(A=lq["A"], B=lq["B"], c=lq["c"], Qxx=lq["Qxx"],
+                          qx=lq["qx"], Ruu=lq["Ruu"], ru=lq["ru"],
+                          S=lq["S"], P=lq["P_term"], p=lq["p_term"],
+                          lb=lb, ub=ub, dx0=lq["dx0"]))
     batched = jax.tree.map(
         lambda *xs: jnp.stack(xs).astype(jnp.float32), *qps)
 
@@ -127,8 +169,49 @@ def test_rti_step_batched_matches_rti_step():
     new_b, out_b = rti_step_batched(spec, states, x0s, yref, yref_e, cfg,
                                     block_b=B, stages_per_step=5,
                                     interpret=True)
+    ref_step = jax.jit(lambda s, x: rti_step(spec, s, x, yref, yref_e, cfg))
     for i in range(0, B, 3):
         si = jax.tree.map(lambda a: a[i], states)
-        _, oi = rti_step(spec, si, x0s[i], yref, yref_e, cfg)
+        _, oi = ref_step(si, x0s[i])
         np.testing.assert_allclose(np.asarray(out_b.u0[i]),
                                    np.asarray(oi.u0), rtol=1e-3, atol=1e-3)
+
+
+def test_fused_kkt_sweep_matches_separate():
+    """kkt_sweep (one launch) == backward_sweep + forward_sweep."""
+    diag, dense = batch_lq(jax.random.PRNGKey(4))
+    args = (bl(diag["A"]), bl(diag["B"]), bl(diag["c"]), bl(diag["qxx"]),
+            bl(diag["qx"]), bl(diag["ruu"]), bl(diag["ru"]), bl(diag["pT"]),
+            bl(diag["p_term"]))
+    K, kff, L, Pc = rk.backward_sweep(*args, **KERN)
+    dx, du = rk.forward_sweep(bl(diag["A"]), bl(diag["B"]), bl(diag["c"]),
+                              K, kff, bl(diag["dx0"]), **KERN)
+    K2, kff2, L2, Pc2, dx2, du2 = rk.kkt_sweep(*args, bl(diag["dx0"]),
+                                               **KERN)
+    for a, b in [(K, K2), (kff, kff2), (L, L2), (Pc, Pc2), (dx, dx2),
+                 (du, du2)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fused_corrector_sweep_matches_separate():
+    """corrector_sweep == backward_vector_sweep + forward_sweep."""
+    diag, dense = batch_lq(jax.random.PRNGKey(5))
+    args = (bl(diag["A"]), bl(diag["B"]), bl(diag["c"]), bl(diag["qxx"]),
+            bl(diag["qx"]), bl(diag["ruu"]), bl(diag["ru"]), bl(diag["pT"]),
+            bl(diag["p_term"]))
+    K, kff, L, Pc = rk.backward_sweep(*args, **KERN)
+    qx2, ru2, pt2 = (1.7 * diag["qx"], -0.4 * diag["ru"],
+                     0.6 * diag["p_term"])
+    kffc = rk.backward_vector_sweep(bl(diag["A"]), bl(diag["B"]), bl(qx2),
+                                    bl(ru2), K, L, Pc, bl(pt2), **KERN)
+    dx_ref, du_ref = rk.forward_sweep(bl(diag["A"]), bl(diag["B"]),
+                                      bl(diag["c"]), K, kffc,
+                                      bl(diag["dx0"]), **KERN)
+    dx, du = rk.corrector_sweep(bl(diag["A"]), bl(diag["B"]), bl(diag["c"]),
+                                bl(qx2), bl(ru2), K, L, Pc, bl(pt2),
+                                bl(diag["dx0"]), **KERN)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
+                               rtol=1e-6, atol=1e-6)

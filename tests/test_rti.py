@@ -123,8 +123,9 @@ def test_controls_respect_bounds():
     x0 = hover_state(spec.params, pos=(0.0, 0.0, 0.0))
     yref, yref_e = hover_yref(spec, pos=(0.0, 0.0, 2.0))  # 2 m climb
     state = init_rti(spec, x0)
+    step = jax.jit(lambda s: rti_step(spec, s, x0, yref, yref_e, CFG))
     for _ in range(3):
-        state, out = rti_step(spec, state, x0, yref, yref_e, CFG)
+        state, out = step(state)
     u = np.asarray(state.u_traj)
     assert u.min() >= -1e-9
     assert u.max() <= 22.0 + 1e-9

@@ -79,8 +79,9 @@ def test_checkpoint_roundtrip_exact_resume():
     from crazyflie_nmpc_tpu.solver import hover_yref
     yref, yref_e = hover_yref(spec)
     state = init_rti(spec, x0)
+    step = jax.jit(lambda s: rti_step(spec, s, x0, yref, yref_e, CFG))
     for _ in range(3):
-        state, _ = rti_step(spec, state, x0, yref, yref_e, CFG)
+        state, _ = step(state)
 
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "ckpt.npz")

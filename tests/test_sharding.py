@@ -42,10 +42,12 @@ def test_batch_sharded_rti_matches_local():
     step = batch_sharded_rti(spec, mesh, CFG)
     new_states, outs = step(states, x0s, yrefs, yref_es)
 
-    # reference: per-element local solve
+    # reference: per-element local solve (jitted: eager per-primitive
+    # dispatch intermittently segfaults this jaxlib's XLA:CPU compiler)
+    ref_step = jax.jit(lambda s, x: rti_step(spec, s, x, yref, yref_e, CFG))
     for i in range(0, B, 5):
         si = jax.tree.map(lambda a: a[i], states)
-        _, oi = rti_step(spec, si, x0s[i], yref, yref_e, CFG)
+        _, oi = ref_step(si, x0s[i])
         np.testing.assert_allclose(np.asarray(outs.u0[i]),
                                    np.asarray(oi.u0), rtol=1e-9, atol=1e-10)
 
@@ -71,7 +73,8 @@ def test_stage_sharded_rti_matches_local(n_stage, block):
     )
     new_state, out = jax.jit(fn)(state, x0, yref, yref_e)
 
-    ref_state, ref_out = rti_step(spec, state, x0, yref, yref_e, CFG)
+    ref_state, ref_out = jax.jit(
+        lambda s, x: rti_step(spec, s, x, yref, yref_e, CFG))(state, x0)
     np.testing.assert_allclose(np.asarray(new_state.u_traj),
                                np.asarray(ref_state.u_traj),
                                rtol=1e-8, atol=1e-9)
