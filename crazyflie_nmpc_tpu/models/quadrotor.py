@@ -151,3 +151,99 @@ def hover_control(params: QuadrotorParams, dtype=None):
     """Equilibrium control: all four rotors at hover speed [kRPM]."""
     dtype = dtype or jnp.zeros(0).dtype
     return jnp.full((NU,), params.hover_speed(), dtype=dtype)
+
+
+def dynamics_jacobians(params: QuadrotorParams, x: jax.Array,
+                       u: jax.Array):
+    """Analytic Jacobians Jx = df/dx (..., 13, 13), Ju = df/du (..., 13, 4).
+
+    Hand-derived from `dynamics` (the reference ODE, export_ode_model.py:
+    85-97) so the RTI preparation phase can propagate sensitivities with
+    dense matrix chain rules instead of 17 jacfwd tangent passes — the
+    same closed-form-VDE move the CasADi-generated `forw_vde` makes.
+    Verified against `jax.jacfwd(dynamics)` in tests/test_dynamics.py.
+    """
+    q1, q2, q3, q4 = x[..., QW], x[..., QX], x[..., QY], x[..., QZ]
+    vbx, vby, vbz = x[..., VBX], x[..., VBY], x[..., VBZ]
+    wx, wy, wz = x[..., WX], x[..., WY], x[..., WZ]
+    w1, w2, w3, w4 = u[..., 0], u[..., 1], u[..., 2], u[..., 3]
+
+    g0, mq = params.g0, params.mq
+    Ixx, Iyy, Izz = params.Ixx, params.Iyy, params.Izz
+    Ct, Cd, l = params.Ct, params.Cd, params.l
+
+    z = jnp.zeros_like(q1)
+    h = 0.5 * jnp.ones_like(q1)
+
+    def row(cols):
+        """cols: dict {state_index: (B,) expr} -> (..., 13)."""
+        return jnp.stack([cols.get(i, z) for i in range(NX)], axis=-1)
+
+    Jx = jnp.stack([
+        # dxq
+        row({QW: 4 * q1 * vbx - 2 * q4 * vby + 2 * q3 * vbz,
+             QX: 4 * q2 * vbx + 2 * q3 * vby + 2 * q4 * vbz,
+             QY: 2 * q2 * vby + 2 * q1 * vbz,
+             QZ: -2 * q1 * vby + 2 * q2 * vbz,
+             VBX: 2 * q1 ** 2 + 2 * q2 ** 2 - 1,
+             VBY: -(2 * q1 * q4 - 2 * q2 * q3),
+             VBZ: 2 * q1 * q3 + 2 * q2 * q4}),
+        # dyq
+        row({QW: 4 * q1 * vby + 2 * q4 * vbx - 2 * q2 * vbz,
+             QX: 2 * q3 * vbx - 2 * q1 * vbz,
+             QY: 4 * q3 * vby + 2 * q2 * vbx + 2 * q4 * vbz,
+             QZ: 2 * q1 * vbx + 2 * q3 * vbz,
+             VBX: 2 * q1 * q4 + 2 * q2 * q3,
+             VBY: 2 * q1 ** 2 + 2 * q3 ** 2 - 1,
+             VBZ: -(2 * q1 * q2 - 2 * q3 * q4)}),
+        # dzq
+        row({QW: 4 * q1 * vbz - 2 * q3 * vbx + 2 * q2 * vby,
+             QX: 2 * q4 * vbx + 2 * q1 * vby,
+             QY: -2 * q1 * vbx + 2 * q4 * vby,
+             QZ: 4 * q4 * vbz + 2 * q2 * vbx + 2 * q3 * vby,
+             VBX: -(2 * q1 * q3 - 2 * q2 * q4),
+             VBY: 2 * q1 * q2 + 2 * q3 * q4,
+             VBZ: 2 * q1 ** 2 + 2 * q4 ** 2 - 1}),
+        # dq1..dq4 (quaternion kinematics, linear in q and w)
+        row({QX: -wx * h, QY: -wy * h, QZ: -wz * h,
+             WX: -q2 * h, WY: -q3 * h, WZ: -q4 * h}),
+        row({QW: wx * h, QY: wz * h, QZ: -wy * h,
+             WX: q1 * h, WY: -q4 * h, WZ: q3 * h}),
+        row({QW: wy * h, QX: -wz * h, QZ: wx * h,
+             WX: q4 * h, WY: q1 * h, WZ: -q2 * h}),
+        row({QW: wz * h, QX: wy * h, QY: -wx * h,
+             WX: -q3 * h, WY: q2 * h, WZ: q1 * h}),
+        # dvbx/dvby/dvbz (Coriolis + gravity tilt + thrust)
+        row({QW: 2 * g0 * q3, QX: -2 * g0 * q4, QY: 2 * g0 * q1,
+             QZ: -2 * g0 * q2,
+             VBY: wz, VBZ: -wy, WY: -vbz, WZ: vby}),
+        row({QW: -2 * g0 * q2, QX: -2 * g0 * q1, QY: -2 * g0 * q4,
+             QZ: -2 * g0 * q3,
+             VBX: -wz, VBZ: wx, WX: vbz, WZ: -vbx}),
+        row({QW: -4 * g0 * q1, QZ: -4 * g0 * q4,
+             VBX: wy, VBY: -wx, WX: -vby, WY: vbx}),
+        # dwx/dwy/dwz (Euler rotational dynamics)
+        row({WY: (Iyy - Izz) * wz / Ixx, WZ: (Iyy - Izz) * wy / Ixx}),
+        row({WX: (Izz - Ixx) * wz / Iyy, WZ: (Izz - Ixx) * wx / Iyy}),
+        row({WX: (Ixx - Iyy) * wy / Izz, WY: (Ixx - Iyy) * wx / Izz}),
+    ], axis=-2)
+
+    def urow(c1, c2, c3, c4):
+        return jnp.stack([c1, c2, c3, c4], axis=-1)
+
+    zu = jnp.zeros_like(w1)
+    tcm = 2.0 * Ct / mq
+    tlx = 2.0 * Ct * l / Ixx
+    tly = 2.0 * Ct * l / Iyy
+    tdz = 2.0 * Cd / Izz
+    Ju = jnp.stack([
+        urow(zu, zu, zu, zu), urow(zu, zu, zu, zu), urow(zu, zu, zu, zu),
+        urow(zu, zu, zu, zu), urow(zu, zu, zu, zu), urow(zu, zu, zu, zu),
+        urow(zu, zu, zu, zu),
+        urow(zu, zu, zu, zu), urow(zu, zu, zu, zu),
+        urow(tcm * w1, tcm * w2, tcm * w3, tcm * w4),
+        urow(-tlx * w1, -tlx * w2, tlx * w3, tlx * w4),
+        urow(-tly * w1, tly * w2, tly * w3, -tly * w4),
+        urow(-tdz * w1, tdz * w2, -tdz * w3, tdz * w4),
+    ], axis=-2)
+    return Jx, Ju

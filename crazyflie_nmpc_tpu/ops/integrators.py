@@ -106,3 +106,54 @@ def linearize_trajectory(f: Callable, params, x_traj: jax.Array,
     step = functools.partial(step_with_sensitivities, f, params,
                              dt=dt, num_steps=num_steps)
     return jax.vmap(step)(x_traj[:-1], u_traj)
+
+
+def step_with_sensitivities_vde(params, x: jax.Array, u: jax.Array, dt):
+    """RK4 discrete step + sensitivities via the closed-form matrix VDE.
+
+    Propagates the full (nx, nx)/(nx, nu) tangent matrices through the four
+    RK stages with the hand-derived `dynamics_jacobians` — the TPU-friendly
+    restatement of the CasADi forward VDE (one pass of dense chain rules
+    instead of 17 jacfwd tangent evaluations).  Equals
+    `step_with_sensitivities(dynamics, ...)` to roundoff
+    (tests/test_integrators.py).
+
+    Shapes: x (..., 13), u (..., 4) ->
+      (x_next (..., 13), A (..., 13, 13), B (..., 13, 4)).
+    """
+    from crazyflie_nmpc_tpu.models.quadrotor import (
+        dynamics,
+        dynamics_jacobians,
+    )
+
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+
+    def f_and_jac(x_):
+        return dynamics(params, x_, u), *dynamics_jacobians(params, x_, u)
+
+    k1, J1, G1 = f_and_jac(x)
+    k2, J2, G2 = f_and_jac(x + 0.5 * dt * k1)
+    k3, J3, G3 = f_and_jac(x + 0.5 * dt * k2)
+    k4, J4, G4 = f_and_jac(x + dt * k3)
+
+    # tangent chain through the stages: Ki = d k_i/dx, Mi = d k_i/du
+    K1 = J1
+    K2 = J2 @ (eye + 0.5 * dt * K1)
+    K3 = J3 @ (eye + 0.5 * dt * K2)
+    K4 = J4 @ (eye + dt * K3)
+    M1 = G1
+    M2 = G2 + J2 @ (0.5 * dt * M1)
+    M3 = G3 + J3 @ (0.5 * dt * M2)
+    M4 = G4 + J4 @ (dt * M3)
+
+    x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    A = eye + (dt / 6.0) * (K1 + 2 * K2 + 2 * K3 + K4)
+    B = (dt / 6.0) * (M1 + 2 * M2 + 2 * M3 + M4)
+    return x_next, A, B
+
+
+def linearize_trajectory_vde(params, x_traj: jax.Array, u_traj: jax.Array,
+                             dt):
+    """`linearize_trajectory` on the closed-form VDE (num_steps=1 path)."""
+    return jax.vmap(functools.partial(step_with_sensitivities_vde, params,
+                                      dt=dt))(x_traj[..., :-1, :], u_traj)

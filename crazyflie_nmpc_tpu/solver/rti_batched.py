@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from crazyflie_nmpc_tpu.models.quadrotor import dynamics
 from crazyflie_nmpc_tpu.ops import ipm, ipm_fast
 from crazyflie_nmpc_tpu.ops.integrators import linearize_trajectory
-from crazyflie_nmpc_tpu.ops.qp import build_qp, gauss_newton_cost_blocks
 from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
 from crazyflie_nmpc_tpu.solver.rti import RTIOutput, RTIState
 
@@ -39,6 +38,10 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
     """
     B = x0s.shape[0]
     cost = spec.cost
+    nx = states.x_traj.shape[-1]
+    nu = states.u_traj.shape[-1]
+    N = states.u_traj.shape[-2]
+    dtype = states.x_traj.dtype
 
     # --- preparation: stage-parallel linearization for all problems
     x_next, A, Bm = jax.vmap(
@@ -46,21 +49,42 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                                             spec.dt, spec.sim_steps)
     )(states.x_traj, states.u_traj)
 
+    # --- batch-last diagonal QP assembly, built directly (no dense cost
+    # blocks, no QPData detour): the reference cost is LLS with selector
+    # Vx/Vu and diagonal W (generate_c_code.py:86-107), so
+    # qx = q ⊙ (x - yref_x), ru = r ⊙ (u - yref_u), Hessians are the
+    # broadcast diagonals.  Skipping the dense (B, N, 13, 13) blocks saves
+    # both their construction and a ~35 MB layout transpose per step.
+    bl = lambda z: jnp.moveaxis(z, 0, -1)          # batch-first -> last
+    q_diag = jnp.diagonal(cost.W)[:nx].astype(dtype)
+    r_diag = jnp.diagonal(cost.W)[nx:].astype(dtype)
+    pT_diag = jnp.diagonal(cost.W_e).astype(dtype)
+
     if yref.ndim == 2:
-        yref_b = jnp.broadcast_to(yref, (B,) + yref.shape)
-        yref_e_b = jnp.broadcast_to(yref_e, (B,) + yref_e.shape)
+        yref_b = yref[None]
+        yref_e_b = yref_e[None]
     else:
         yref_b, yref_e_b = yref, yref_e
+    qx = q_diag * (states.x_traj[:, :-1] - yref_b[..., :nx])
+    ru = r_diag * (states.u_traj - yref_b[..., nx:])
+    p = pT_diag * (states.x_traj[:, -1] - yref_e_b)
 
-    qp = jax.vmap(
-        lambda a, bm, xn, xt, ut, x0, yr, ye: build_qp(
-            a, bm, xn, xt, ut, x0, spec.lbu, spec.ubu,
-            gauss_newton_cost_blocks(cost.W, cost.Vx, cost.Vu, cost.W_e,
-                                     cost.Vx_e, xt, ut, yr, ye))
-    )(A, Bm, x_next, states.x_traj, states.u_traj, x0s, yref_b, yref_e_b)
+    qp = dict(
+        A=bl(A), B=bl(Bm),
+        c=bl(x_next - states.x_traj[:, 1:]),
+        qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
+        qx=bl(qx),
+        ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
+        ru=bl(ru),
+        pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
+        p=bl(p),
+        lb=bl(spec.lbu - states.u_traj),
+        ub=bl(spec.ubu - states.u_traj),
+        dx0=bl(x0s - states.x_traj[:, 0]),
+    )
 
     # --- feedback: batch-last fused IPM
-    sol = ipm_fast.solve_batched(ipm_fast.from_qpdata(qp), config,
+    sol = ipm_fast.solve_batched(qp, config,
                                  block_b=block_b,
                                  stages_per_step=stages_per_step,
                                  interpret=interpret)
@@ -70,8 +94,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
     x_traj = states.x_traj + dx
     u_traj = states.u_traj + du
 
-    res_nl = jnp.maximum(jnp.max(jnp.abs(qp.c), axis=(1, 2)),
-                         jnp.max(jnp.abs(qp.dx0), axis=1))
+    res_nl = jnp.maximum(jnp.max(jnp.abs(qp["c"]), axis=(0, 1)),
+                         jnp.max(jnp.abs(qp["dx0"]), axis=0))
     step_norm = jnp.maximum(jnp.max(jnp.abs(du), axis=(1, 2)),
                             jnp.max(jnp.abs(dx), axis=(1, 2)))
 

@@ -145,3 +145,28 @@ def test_description_presets():
         desc.params_for("cf3")
     # hover speed ordering follows mass
     assert float(heavy.hover_speed()) > float(ident.hover_speed())
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """dynamics_jacobians (hand-derived, used by the fast VDE) must equal
+    jax.jacfwd of the ODE at random states."""
+    from crazyflie_nmpc_tpu.models.quadrotor import (
+        QuadrotorParams,
+        dynamics,
+        dynamics_jacobians,
+    )
+
+    params = QuadrotorParams()
+    key = jax.random.PRNGKey(7)
+    for i in range(5):
+        kx, ku, key = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (13,), jnp.float64)
+        x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
+        u = 15.0 + jax.random.normal(ku, (4,), jnp.float64)
+        Jx_ref = jax.jacfwd(lambda x_: dynamics(params, x_, u))(x)
+        Ju_ref = jax.jacfwd(lambda u_: dynamics(params, x, u_))(u)
+        Jx, Ju = dynamics_jacobians(params, x, u)
+        np.testing.assert_allclose(np.asarray(Jx), np.asarray(Jx_ref),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Ju), np.asarray(Ju_ref),
+                                   rtol=1e-12, atol=1e-12)
