@@ -199,3 +199,41 @@ def test_imu_echo_tool(capsys):
     out = capsys.readouterr().out
     assert "gyro [deg/s]" in out
     assert "+1.000" in out and "+3.000" in out
+
+
+# ---------------- determinism / debug plane --------------------------------
+
+def test_closed_loop_deterministic_replay():
+    """Same inputs -> bitwise-identical closed-loop trajectories (the
+    functional-purity replacement for the reference's benign races,
+    SURVEY.md section 5)."""
+    from crazyflie_nmpc_tpu.runtime import LoopConfig, hover_regulation
+    from crazyflie_nmpc_tpu.utils.debug import assert_deterministic
+
+    spec = spec32(N=10)
+    x0 = hover_state(spec.params, pos=(0.2, -0.1, 0.3), dtype=jnp.float32)
+
+    def run():
+        res = hover_regulation(spec, x0, steps=30,
+                               config=LoopConfig(ipm=CFG))
+        return res.x, res.u
+    assert_deterministic(run)
+
+
+def test_check_finite_and_fallback():
+    from crazyflie_nmpc_tpu.utils.debug import (
+        check_finite,
+        finite_or_fallback,
+    )
+
+    good = {"a": jnp.ones(3), "b": jnp.zeros((2, 2))}
+    check_finite(good)  # no raise
+    bad = {"a": jnp.array([1.0, jnp.nan]), "b": jnp.zeros(2)}
+    with pytest.raises(FloatingPointError, match="a"):
+        check_finite(bad, where="test")
+
+    fb = {"a": jnp.zeros(2), "b": jnp.ones(2)}
+    out = finite_or_fallback(bad, fb)
+    np.testing.assert_array_equal(np.asarray(out["a"]), [0.0, 0.0])
+    out2 = finite_or_fallback({"a": jnp.ones(2), "b": jnp.ones(2)}, fb)
+    np.testing.assert_array_equal(np.asarray(out2["a"]), [1.0, 1.0])

@@ -81,3 +81,41 @@ def test_stage_sharded_rti_matches_local(n_stage, block):
     np.testing.assert_allclose(np.asarray(new_state.x_traj),
                                np.asarray(ref_state.x_traj),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_pod_rti_step_fused_path_matches_local():
+    """Pod serving path: shard_map over the batch axis with the fused
+    Pallas kernels per device == the unsharded batched step."""
+    from crazyflie_nmpc_tpu.parallel.pod import fleet_metrics, pod_rti_step
+    from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
+
+    spec = default_ocp(N=10, dtype=jnp.float32)
+    mesh = make_mesh(batch=8, stage=1)
+    yref, yref_e = hover_yref(spec)
+    B = 16
+    key = jax.random.PRNGKey(5)
+    x0s = jnp.stack([
+        hover_state(spec.params, dtype=jnp.float32)
+        + 0.05 * jax.random.normal(jax.random.fold_in(key, i), (NX,),
+                                   jnp.float32) for i in range(B)])
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+
+    step = pod_rti_step(spec, mesh, CFG, block_b=2, stages_per_step=5,
+                        interpret=True)
+    new_states, outs = step(states, x0s, yref, yref_e)
+
+    ref_states, ref_outs = rti_step_batched(
+        spec, states, x0s, yref, yref_e, CFG, block_b=2,
+        stages_per_step=5, interpret=True)
+    # f32 + different XLA fusion orders (shard_map vs plain) -> ~1e-4
+    # relative noise, amplified by the IPM's conditioning near active bounds
+    np.testing.assert_allclose(np.asarray(outs.u0), np.asarray(ref_outs.u0),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_states.u_traj),
+                               np.asarray(ref_states.u_traj),
+                               rtol=1e-3, atol=5e-3)
+
+    # pod-wide metric reduction
+    kkt_max, mu_mean = fleet_metrics(mesh)(outs.kkt_res, outs.qp_mu)
+    assert float(kkt_max) == pytest.approx(
+        float(np.max(np.asarray(outs.kkt_res))), rel=1e-6)
