@@ -9,6 +9,8 @@ from crazyflie_nmpc_tpu.solver.rti import (  # noqa: F401
     RTIOutput,
     RTIState,
     init_rti,
+    as_rti_prepare,
+    as_rti_step,
     rti_step,
     sqp_solve,
 )

@@ -141,3 +141,36 @@ def sqp_solve(spec: OCPSpec, state: RTIState, x0, yref, yref_e,
 
     state, kkts = jax.lax.scan(body, state, None, length=iters)
     return state, kkts
+
+
+def as_rti_prepare(spec: OCPSpec, state: RTIState, x0_pred, yref, yref_e,
+                   prep_iters: int = 1,
+                   config: ipm.IPMConfig = ipm.IPMConfig()) -> RTIState:
+    """Advanced-Step RTI preparation (arXiv:2403.07101, levels C/D).
+
+    Between samples, run `prep_iters` extra SQP iterations on the OCP
+    anchored at the *predicted* next measurement `x0_pred` (from the delay
+    predictor / plant model).  The feedback phase at the next sample then
+    starts from an iterate that has already absorbed most of the nonlinear
+    contraction, tightening RTI toward the converged-SQP solution at the
+    cost of off-critical-path compute — the reference's plain RTI is the
+    prep_iters = 0 special case.  Level mapping: 1 iteration ~ AS-RTI-C;
+    iterating to tolerance ~ AS-RTI-D.
+    """
+    state, _ = sqp_solve(spec, state, x0_pred, yref, yref_e,
+                         iters=prep_iters, config=config)
+    return state
+
+
+def as_rti_step(spec: OCPSpec, state: RTIState, x0, x0_pred_next,
+                yref, yref_e, config: ipm.IPMConfig = ipm.IPMConfig(),
+                prep_iters: int = 1):
+    """One AS-RTI cycle: feedback at the actual estimate, then advanced-step
+    preparation at the predicted next one.
+
+    Returns (prepared RTIState for the next tick, RTIOutput of this tick).
+    """
+    state, out = rti_step(spec, state, x0, yref, yref_e, config)
+    state = as_rti_prepare(spec, state, x0_pred_next, yref, yref_e,
+                           prep_iters, config)
+    return state, out

@@ -131,3 +131,54 @@ def test_backward_vector_reuses_factorization():
         dx_ref, du_ref = riccati.solve_lq(**lq2)
         np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
                                    rtol=1e-10, atol=1e-12)
+
+
+# ---------------- associative-scan (log-depth) Riccati ---------------------
+
+def test_pscan_cost_to_go_matches_sequential():
+    """Parallel-scan cost-to-go == sequential Riccati recursion."""
+    from crazyflie_nmpc_tpu.ops import riccati_pscan
+
+    lq = random_lq(jax.random.PRNGKey(21), N=12, nx=7, nu=3)
+    fr = riccati.factorize(lq["A"], lq["B"], lq["Qxx"], lq["Ruu"], lq["S"],
+                           lq["P_term"])
+    kff_ref, p_ref = riccati.backward_vector(
+        fr, lq["A"], lq["B"], lq["qx"], lq["ru"], lq["c"], lq["p_term"])
+    P, p = riccati_pscan.cost_to_go_pscan(
+        lq["A"], lq["B"], lq["c"], lq["Qxx"], lq["qx"], lq["Ruu"],
+        lq["ru"], lq["S"], lq["P_term"], lq["p_term"])
+    np.testing.assert_allclose(np.asarray(P), np.asarray(fr.P),
+                               rtol=1e-9, atol=1e-9)
+    # p from backward_vector: compare the full affine cost-to-go sequence
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_pscan_solve_matches_sequential_and_kkt():
+    """Full log-depth LQ solve == sequential solve == dense KKT truth."""
+    from crazyflie_nmpc_tpu.ops import riccati_pscan
+
+    for seed, N in [(22, 8), (23, 16)]:
+        lq = random_lq(jax.random.PRNGKey(seed), N=N, nx=6, nu=2)
+        dx_ref, du_ref = riccati.solve_lq(**lq)
+        dx, du = riccati_pscan.solve_lq_pscan(
+            lq["A"], lq["B"], lq["c"], lq["Qxx"], lq["qx"], lq["Ruu"],
+            lq["ru"], lq["S"], lq["P_term"], lq["p_term"], lq["dx0"])
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
+                                   rtol=1e-8, atol=1e-9)
+
+
+def test_pscan_factors_match():
+    from crazyflie_nmpc_tpu.ops import riccati_pscan
+
+    lq = random_lq(jax.random.PRNGKey(24), N=10, nx=5, nu=3)
+    fr_ref = riccati.factorize(lq["A"], lq["B"], lq["Qxx"], lq["Ruu"],
+                               lq["S"], lq["P_term"])
+    fr = riccati_pscan.factors_pscan(lq["A"], lq["B"], lq["Qxx"],
+                                     lq["Ruu"], lq["S"], lq["P_term"])
+    np.testing.assert_allclose(np.asarray(fr.P), np.asarray(fr_ref.P),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fr.K), np.asarray(fr_ref.K),
+                               rtol=1e-8, atol=1e-9)

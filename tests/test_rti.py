@@ -152,3 +152,46 @@ def test_rti_jit_and_vmap():
         _, oi = step(si, x0s[i])
         np.testing.assert_allclose(np.asarray(outs.u0[i]),
                                    np.asarray(oi.u0), rtol=1e-9, atol=1e-11)
+
+
+def test_as_rti_tightens_toward_sqp():
+    """AS-RTI-C (extra preparation iterations at the predicted next state,
+    arXiv:2403.07101) must track the converged-SQP control closer than
+    plain RTI on an aggressive transient, and reduce to plain RTI when
+    prep_iters = 0."""
+    from crazyflie_nmpc_tpu.models import dynamics as dyn
+    from crazyflie_nmpc_tpu.ops.integrators import rk4_step
+    from crazyflie_nmpc_tpu.solver import as_rti_step, sqp_solve
+
+    spec = spec64(N=20)
+    yref, yref_e = hover_yref(spec, pos=(0.6, -0.4, 0.9))  # big setpoint jump
+    x = hover_state(spec.params, pos=(0.0, 0.0, 0.3))
+
+    plain = jax.jit(lambda s, x0: rti_step(spec, s, x0, yref, yref_e, CFG))
+    adv = jax.jit(lambda s, x0, xp: as_rti_step(spec, s, x0, xp, yref,
+                                                yref_e, CFG, prep_iters=1))
+    truth = jax.jit(lambda x0: sqp_solve(spec, init_rti(spec, x0), x0,
+                                         yref, yref_e, iters=25,
+                                         config=CFG)[0].u_traj[0])
+    plant = jax.jit(lambda x0, u: rk4_step(dyn, spec.params, x0, u,
+                                           spec.dt))
+
+    def closed_loop(prep_iters, ticks=25):
+        st = init_rti(spec, x)
+        xs, us = x, []
+        for _ in range(ticks):
+            if prep_iters == 0:
+                st, out = plain(st, xs)
+            else:
+                x_pred = plant(xs, st.u_traj[0])
+                st, out = adv(st, xs, x_pred)
+            us.append((np.asarray(out.u0), np.asarray(truth(xs))))
+            xs = plant(xs, out.u0)
+        errs = [np.abs(a - b).max() for a, b in us]
+        return float(np.max(errs[2:]))  # skip cold-start ticks
+
+    err_rti = closed_loop(0)
+    err_as1 = closed_loop(1)
+    assert err_as1 <= err_rti + 1e-12, (err_as1, err_rti)
+    assert err_as1 < 0.5 * err_rti or err_rti < 1e-6, \
+        f"AS-RTI gave no improvement: {err_as1} vs {err_rti}"
