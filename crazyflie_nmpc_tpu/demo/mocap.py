@@ -53,16 +53,10 @@ class MocapBridge:
             return None
         self._maybe_init_ekf(sample)
         if len(sample) >= 7:
-            # full pose: position + quaternion → external pose packet via
-            # the generic path (header 0x61 = localization ch 1)
-            import struct
-
-            from crazyflie_nmpc_tpu.native import quat_compress
-
-            payload = bytes([8]) + struct.pack(
-                "<fffI", sample[0], sample[1], sample[2],
-                quat_compress(list(sample[3:7])))
-            self.link.send_packet(self.vid, 0x61, payload)
+            # full pose: position + quaternion (external_pose topic path)
+            self.link.send_external_pose(self.vid, float(sample[0]),
+                                         float(sample[1]), float(sample[2]),
+                                         list(sample[3:7]))
         else:
             self.link.send_external_position(self.vid, float(sample[0]),
                                              float(sample[1]),

@@ -54,6 +54,9 @@ def load_library() -> ct.CDLL:
                                                 f32p, f32p, f32p, f32p, f32p]
             lib.cfl_send_external_position.argtypes = [
                 ct.c_void_p, ct.c_int, ct.c_float, ct.c_float, ct.c_float]
+            lib.cfl_send_external_pose.argtypes = [
+                ct.c_void_p, ct.c_int, ct.c_float, ct.c_float, ct.c_float,
+                f32p]
             lib.cfl_emergency.argtypes = [ct.c_void_p, ct.c_int]
             lib.cfl_param_write.argtypes = [ct.c_void_p, ct.c_int,
                                             ct.c_uint16, ct.c_uint8, u8p]
@@ -230,6 +233,13 @@ class LinkServer:
     def send_external_position(self, vid, x, y, z) -> bool:
         return self._lib.cfl_send_external_position(self._handle, vid, x, y,
                                                     z) == 0
+
+    def send_external_pose(self, vid, x, y, z, quat) -> bool:
+        """Full mocap pose (position + compressed quaternion), the
+        external_pose topic equivalent (crazyflie_server.cpp:294)."""
+        _, p = _f32(quat)
+        return self._lib.cfl_send_external_pose(self._handle, vid, x, y, z,
+                                                p) == 0
 
     def emergency(self, vid):
         self._lib.cfl_emergency(self._handle, vid)

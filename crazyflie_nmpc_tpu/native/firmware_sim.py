@@ -104,6 +104,7 @@ class FirmwareSim:
         self.last_setpoint = None          # (roll, pitch, yawrate, thrust)
         self.last_generic_setpoint = None  # dict with "type" key
         self.external_positions = []
+        self.external_poses = []   # (x, y, z, compressed_quat)
         self.hl_commands = []              # decoded HL commander dicts
         self.trajectory_mem = bytearray(4096)
         self.trajectories: dict[int, tuple[int, int]] = {}
@@ -199,6 +200,9 @@ class FirmwareSim:
                 if channel == 0 and len(payload) == 12:
                     self.external_positions.append(
                         struct.unpack("<fff", payload))
+                elif channel == 1 and len(payload) == 17 and payload[0] == 8:
+                    x, y, z, comp = struct.unpack("<fffI", payload[1:])
+                    self.external_poses.append((x, y, z, comp))
             elif port == PORT_PARAM:
                 self._handle_param(channel, payload)
             elif port == PORT_LOG:

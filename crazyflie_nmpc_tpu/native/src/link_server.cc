@@ -274,6 +274,11 @@ int cfl_send_external_position(void* sv, int id, float x, float y, float z) {
   return QueuePacket(sv, id, cfl::EncodeExternalPosition(x, y, z));
 }
 
+int cfl_send_external_pose(void* sv, int id, float x, float y, float z,
+                           const float* quat) {
+  return QueuePacket(sv, id, cfl::EncodeExternalPose(x, y, z, quat));
+}
+
 int cfl_emergency(void* sv, int id) {
   auto* server = static_cast<Server*>(sv);
   Vehicle* v = server->Find(id);

@@ -128,12 +128,13 @@ def test_estimator_closed_chain_on_synthetic_flight():
     delay_ticks = 4
     delay = delay_ticks * DT
     errs_pose, errs_vel = [], []
+    tick = jax.jit(lambda e, xt, u: estimate(
+        params, notify_command(e, u), xt[:3],
+        rotations.quat_to_euler(xt[3:7]), xt[10:], DT, delay,
+        sim_steps=delay_ticks))
     for k in range(T - delay_ticks):
         x_true = xs[k]
-        rpy = rotations.quat_to_euler(x_true[3:7])
-        est = notify_command(est, u_traj[k])
-        est, x_hat = estimate(params, est, x_true[:3], rpy, x_true[10:],
-                              DT, delay, sim_steps=delay_ticks)
+        est, x_hat = tick(est, x_true, u_traj[k])
         if k > 80:  # past LPF warmup
             truth = np.asarray(xs[k + delay_ticks])
             pred = np.asarray(x_hat)

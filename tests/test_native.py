@@ -302,3 +302,23 @@ def test_console_and_generic_setpoints():
         # generic raw packet path (srv/sendPacket): platform port echo into
         # the firmware is at least accepted without error
         assert server.send_packet(1, 0xD0, b"\x01\x02")
+
+
+def test_external_pose_roundtrip():
+    """Full mocap pose through the link: C++ encode (smallest-three quat)
+    -> Python firmware decode, vicon external-pose bridge equivalent."""
+    from crazyflie_nmpc_tpu.native import FirmwareSim, quat_decompress
+
+    with FirmwareSim(47021).serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47021, 47022)
+        q = [0.9238795, 0.0, 0.3826834, 0.0]
+        assert server.send_external_pose(1, 1.5, -0.5, 0.8, q)
+        pose = _wait(lambda: fw.external_poses[-1]
+                     if fw.external_poses else None)
+        x, y, z, comp = pose
+        np.testing.assert_allclose([x, y, z], [1.5, -0.5, 0.8], rtol=1e-6)
+        q2 = quat_decompress(comp)
+        import numpy as _np
+        err = min(_np.abs(q2 - _np.float32(q)).max(),
+                  _np.abs(q2 + _np.float32(q)).max())
+        assert err < 3e-3

@@ -37,11 +37,16 @@ def fly(steps=1000, goal=(0.0, 0.0, 0.6)):
     x = hover_state(params, pos=(0.0, 0.0, 0.0), dtype=jnp.float32)
     st = pidm.takeoff(st, x[2])
     goal = jnp.asarray(goal, jnp.float32)
-    traj, modes = [], []
-    for _ in range(steps):
+
+    @jax.jit
+    def tick(st, x):
         st, cmd = pidm.pid_step(gains, st, x, goal, 0.0, DT)
         krpm = jnp.clip(pwm2krpm(cmd.thrust), 0.0, 22.0)
-        x = grounded_step(params, x, krpm, DT)
+        return st, grounded_step(params, x, krpm, DT)
+
+    traj, modes = [], []
+    for _ in range(steps):
+        st, x = tick(st, x)
         traj.append(np.asarray(x))
         modes.append(int(st.mode))
     return st, np.stack(traj), np.array(modes), gains
@@ -74,10 +79,14 @@ def test_landing_reaches_ground_and_idles():
     x = hover_state(params, pos=(0.0, 0.0, 0.0), dtype=jnp.float32)
     st = pidm.takeoff(st, x[2])
     goal = jnp.array([0.0, 0.0, 0.6], jnp.float32)
-    for _ in range(900):
+    @jax.jit
+    def tick(st, x):
         st, cmd = pidm.pid_step(gains, st, x, goal, 0.0, DT)
-        x = grounded_step(params, x, jnp.clip(pwm2krpm(cmd.thrust), 0, 22),
-                          DT)
+        krpm = jnp.clip(pwm2krpm(cmd.thrust), 0.0, 22.0)
+        return st, grounded_step(params, x, krpm, DT)
+
+    for _ in range(900):
+        st, x = tick(st, x)
     st = pidm.land(st)
     assert int(st.mode) == pidm.LANDING
     for _ in range(1500):

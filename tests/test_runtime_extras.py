@@ -44,10 +44,12 @@ def test_client_takeoff_flies_closed_loop():
     x = hover_state(spec.params, pos=(0.0, 0.0, 0.04), dtype=jnp.float32)
     state = init_rti(spec, x)
     step = jax.jit(lambda s, x, yr, ye: rti_step(spec, s, x, yr, ye, CFG))
+    plant = jax.jit(lambda x, u: rk4_step(dynamics, spec.params, x, u,
+                                          spec.dt))
     for _ in range(160):  # 2.4 s
         yref, yref_e = client.tick()
         state, out = step(state, x, yref, yref_e)
-        x = rk4_step(dynamics, spec.params, x, out.u0, spec.dt)
+        x = plant(x, out.u0)
     assert abs(float(x[2]) - 0.5) < 0.02
     assert client.done  # trajectory consumed -> Position_Hold
 
