@@ -70,8 +70,18 @@ def _max_step(v, dv, tau):
     return jnp.minimum(1.0, tau * jnp.min(ratio))
 
 
-def init_state(qp: QPData, config: IPMConfig = IPMConfig()):
-    """Initial IPM iterate + affine KKT residuals (z = 0 start)."""
+def init_state(qp: QPData, config: IPMConfig = IPMConfig(),
+               lam0_l=None, lam0_u=None):
+    """Initial IPM iterate + affine KKT residuals (z = 0 start).
+
+    lam0_l/lam0_u ((N, nu), optional, EXPERIMENTAL): warm-start bound
+    duals.  NOTE: cold duals are the default on purpose — they match
+    acados/HPIPM's default QP warm-start behavior (primal-only carryover
+    via the trajectory iterate), and carrying converged duals across RTI
+    ticks measurably degrades the barrier (products collapse, KKT stalls)
+    on short-horizon saturating transients.  Clipped away from zero so
+    the first barrier iteration stays interior.
+    """
     N, nx = qp.c.shape[-2], qp.c.shape[-1]
     nu = qp.ru.shape[-1]
     dtype = qp.c.dtype
@@ -89,6 +99,11 @@ def init_state(qp: QPData, config: IPMConfig = IPMConfig()):
     s_u = jnp.where(finite_u, jnp.maximum(ub, config.s_min_init), 1.0)
     lam_l = jnp.where(finite_l, 1.0 / s_l, 0.0)
     lam_u = jnp.where(finite_u, 1.0 / s_u, 0.0)
+    lam_min = 1e-4
+    if lam0_l is not None:
+        lam_l = jnp.where(finite_l, jnp.maximum(lam0_l, lam_min), 0.0)
+    if lam0_u is not None:
+        lam_u = jnp.where(finite_u, jnp.maximum(lam0_u, lam_min), 0.0)
 
     # affine residuals at the initial point (equality duals nu = 0):
     #   r1 = Hz + g - P'lam_l + P'lam_u  (z=0 => just gradients +/- duals)
@@ -195,7 +210,8 @@ def iterate(qp: QPData, config: IPMConfig, carry):
     return carry, (alpha, mu)
 
 
-def solve(qp: QPData, config: IPMConfig = IPMConfig()) -> IPMSolution:
+def solve(qp: QPData, config: IPMConfig = IPMConfig(),
+          lam0_l=None, lam0_u=None) -> IPMSolution:
     """Solve the box-constrained multistage QP.
 
     Infinite bounds are supported: entries with non-finite lb/ub are masked
@@ -205,7 +221,7 @@ def solve(qp: QPData, config: IPMConfig = IPMConfig()) -> IPMSolution:
     finite_u = jnp.isfinite(qp.ub)
     n_ineq = jnp.maximum(jnp.sum(finite_l) + jnp.sum(finite_u), 1)
 
-    carry0 = init_state(qp, config)
+    carry0 = init_state(qp, config, lam0_l=lam0_l, lam0_u=lam0_u)
     carry, (alphas, mus) = jax.lax.scan(
         lambda c, _: iterate(qp, config, c), carry0, None,
         length=config.iters)

@@ -64,7 +64,8 @@ def _max_step_lane(v, dv, tau):
 def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
                   block_b: int = 128, stages_per_step: int = 1,
                   interpret: bool = False,
-                  fused: bool = True) -> BatchSolution:
+                  fused: bool = True,
+                  lam0_l=None, lam0_u=None) -> BatchSolution:
     """Solve a batch of box-constrained multistage QPs (batch-last layout,
     diagonal cost — see `from_qpdata`).
 
@@ -97,6 +98,11 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
     s_u = jnp.where(finite_u, jnp.maximum(ub, config.s_min_init), 1.0)
     lam_l = jnp.where(finite_l, 1.0 / s_l, 0.0)
     lam_u = jnp.where(finite_u, 1.0 / s_u, 0.0)
+    # warm-started bound duals (cf. ipm.init_state): clipped interior
+    if lam0_l is not None:
+        lam_l = jnp.where(finite_l, jnp.maximum(lam0_l, 1e-4), 0.0)
+    if lam0_u is not None:
+        lam_u = jnp.where(finite_u, jnp.maximum(lam0_u, 1e-4), 0.0)
 
     r1x = jnp.concatenate([qx, p_T[None]], axis=0)        # (N+1, nx, B)
     r1u = ru - lam_l + lam_u
