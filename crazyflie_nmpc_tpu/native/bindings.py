@@ -269,6 +269,70 @@ class LinkServer:
     def request_param_toc_info(self, vid) -> bool:
         return self._lib.cfl_param_toc_info(self._handle, vid) == 0
 
+    # ---- TOC download (crazyflie_tools listParams/listLogVariables
+    # parity; crazyflie_server.cpp:485-517 mirrors the same tables)
+    def download_param_toc(self, vid, timeout: float = 5.0) -> dict:
+        """Download the full param TOC: {name: (id, type_byte)}."""
+        import struct
+        import time
+
+        self.request_param_toc_info(vid)
+        count = None
+        deadline = time.time() + timeout
+        pending = {}
+        while time.time() < deadline:
+            pkt = self.poll_packet(vid)
+            if pkt is None:
+                time.sleep(0.002)
+                continue
+            header, payload = pkt
+            if header >> 4 != 0x2 or header & 0x3 != 0:
+                continue
+            if payload[0] == 3:
+                (count,) = struct.unpack("<H", payload[1:3])
+                for i in range(count):
+                    self.send_packet(vid, 0x20, bytes([2])
+                                     + struct.pack("<H", i))
+            elif payload[0] == 2:
+                pid, tb = struct.unpack("<HB", payload[1:4])
+                group, _, rest = payload[4:].partition(b"\0")
+                name, _, _ = rest.partition(b"\0")
+                pending[f"{group.decode()}/{name.decode()}"] = (pid, tb)
+                if count is not None and len(pending) == count:
+                    break
+        return pending
+
+    def download_log_toc(self, vid, timeout: float = 5.0) -> dict:
+        """Download the log-variable TOC: {name: (id, type_byte)}."""
+        import struct
+        import time
+
+        self.send_packet(vid, 0x50, bytes([7]))
+        count = None
+        deadline = time.time() + timeout
+        pending = {}
+        while time.time() < deadline:
+            pkt = self.poll_packet(vid)
+            if pkt is None:
+                time.sleep(0.002)
+                continue
+            header, payload = pkt
+            if header >> 4 != 0x5 or header & 0x3 != 0:
+                continue
+            if payload[0] == 7:
+                (count,) = struct.unpack("<H", payload[1:3])
+                for i in range(count):
+                    self.send_packet(vid, 0x50, bytes([8])
+                                     + struct.pack("<H", i))
+            elif payload[0] == 8:
+                vid_, tb = struct.unpack("<HB", payload[1:4])
+                group, _, rest = payload[4:].partition(b"\0")
+                name, _, _ = rest.partition(b"\0")
+                pending[f"{group.decode()}.{name.decode()}"] = (vid_, tb)
+                if count is not None and len(pending) == count:
+                    break
+        return pending
+
     # ---- log blocks (LogBlock<T> lifecycle, crazyflie_server.cpp:519-651)
     def log_create_block(self, vid, block_id: int, variables) -> bool:
         """variables: list of (storage_type_byte, var_id) pairs, <= 9."""

@@ -237,6 +237,14 @@ class FirmwareSim:
                       for c in p.name) & 0xFFFFFFFF
             self._send(_header(PORT_PARAM, 0)
                        + struct.pack("<BHI", 3, len(self.params), crc))
+        elif channel == 0 and payload and payload[0] == 2:  # TOC item
+            (pid,) = struct.unpack("<H", payload[1:3])
+            p = self.params.get(pid)
+            if p is not None:
+                group, _, name = p.name.partition("/")
+                self._send(_header(PORT_PARAM, 0)
+                           + struct.pack("<BHB", 2, pid, p.type_byte)
+                           + group.encode() + b"\0" + name.encode() + b"\0")
         elif channel == 1 and len(payload) == 2:  # read
             (pid,) = struct.unpack("<H", payload)
             p = self.params.get(pid)
@@ -261,6 +269,20 @@ class FirmwareSim:
         cmd = payload[0]
         block_id = payload[1] if len(payload) > 1 else 0
         status = 0
+        if cmd == 7:  # log TOC info (this stack's extension slot)
+            self._send(_header(PORT_LOG, 0)
+                       + struct.pack("<BH", 7, len(self.log_vars)))
+            return
+        if cmd == 8:  # log TOC item
+            (vid,) = struct.unpack("<H", payload[1:3])
+            name = self.log_var_names.get(vid)
+            if name is not None:
+                tb = self.log_vars[name][1]
+                group, _, short = name.partition(".")
+                self._send(_header(PORT_LOG, 0)
+                           + struct.pack("<BHB", 8, vid, tb)
+                           + group.encode() + b"\0" + short.encode() + b"\0")
+            return
         if cmd == 6:  # CREATE_BLOCK_V2
             n = (len(payload) - 2) // 3
             var_ids = []

@@ -108,6 +108,28 @@ def cmd_imu(args) -> int:
     return 0
 
 
+def cmd_toc(args) -> int:
+    """List the vehicle's param and log tables-of-contents — the
+    crazyflie_tools listParams/listLogVariables equivalents."""
+    from crazyflie_nmpc_tpu.native import LinkServer
+
+    type_names = {0x00: "uint8", 0x01: "uint16", 0x02: "uint32",
+                  0x04: "int8", 0x05: "int16", 0x06: "int32",
+                  0x08: "float", 1: "uint8", 2: "uint16", 3: "uint32",
+                  7: "float"}
+    with LinkServer() as server:
+        server.add_vehicle(0, args.host, args.peer_port, args.local_port)
+        params = server.download_param_toc(0)
+        logs = server.download_log_toc(0)
+        print(f"parameters ({len(params)}):")
+        for name, (pid, tb) in sorted(params.items()):
+            print(f"  [{pid:3d}] {name:<32s} {type_names.get(tb, hex(tb))}")
+        print(f"log variables ({len(logs)}):")
+        for name, (vid, tb) in sorted(logs.items()):
+            print(f"  [{vid:3d}] {name:<32s} {type_names.get(tb, hex(tb))}")
+    return 0
+
+
 def cmd_fly(args) -> int:
     """Run a closed-loop simulated flight and write the 17-col result."""
     import jax
@@ -174,6 +196,12 @@ def main(argv=None) -> int:
     p.add_argument("--local-port", type=int, default=47099)
     p.add_argument("--duration", type=float, default=0.0)
     p.set_defaults(fn=cmd_console)
+
+    p = sub.add_parser("toc", help="list param + log tables of contents")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--peer-port", type=int, required=True)
+    p.add_argument("--local-port", type=int, default=47097)
+    p.set_defaults(fn=cmd_toc)
 
     p = sub.add_parser("imu", help="echo the gyro/accel log stream")
     p.add_argument("--host", default="127.0.0.1")

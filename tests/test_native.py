@@ -322,3 +322,21 @@ def test_external_pose_roundtrip():
         err = min(_np.abs(q2 - _np.float32(q)).max(),
                   _np.abs(q2 + _np.float32(q)).max())
         assert err < 3e-3
+
+
+def test_toc_download():
+    """Full param + log TOC download (crazyflie_tools listParams /
+    listLogVariables parity)."""
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+
+    with FirmwareSim(47023).serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47023, 47024)
+        params = server.download_param_toc(1)
+        assert len(params) == len(fw.params)
+        pid, tb = params["commander/enHighLevel"]
+        assert pid == fw.param_ids["commander/enHighLevel"] and tb == 0x00
+
+        logs = server.download_log_toc(1)
+        assert len(logs) == len(fw.log_vars)
+        vid, tb = logs["gyro.x"]
+        assert vid == fw.log_vars["gyro.x"][0] and tb == 7

@@ -239,3 +239,18 @@ def test_check_finite_and_fallback():
     np.testing.assert_array_equal(np.asarray(out["a"]), [0.0, 0.0])
     out2 = finite_or_fallback({"a": jnp.ones(2), "b": jnp.ones(2)}, fb)
     np.testing.assert_array_equal(np.asarray(out2["a"]), [1.0, 1.0])
+
+
+def test_toc_tool(capsys):
+    """tools toc lists the param/log tables (crazyflie_tools parity)."""
+    native = pytest.importorskip("crazyflie_nmpc_tpu.native")
+    del native
+    from crazyflie_nmpc_tpu.native import FirmwareSim
+    from crazyflie_nmpc_tpu.tools import main
+
+    with FirmwareSim(47043).serve():
+        rc = main(["toc", "--peer-port", "47043", "--local-port", "47044"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "commander/enHighLevel" in out and "uint8" in out
+    assert "gyro.x" in out and "float" in out
