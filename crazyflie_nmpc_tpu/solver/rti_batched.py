@@ -26,7 +26,9 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      yref: jax.Array, yref_e: jax.Array,
                      config: ipm.IPMConfig = ipm.IPMConfig(),
                      block_b: int = 128, stages_per_step: int = 1,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     fused_prep: bool = True,
+                     prep_stages_per_step: int = 5):
     """One RTI iteration for a batch of problems.
 
     Args:
@@ -43,18 +45,10 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
     N = states.u_traj.shape[-2]
     dtype = states.x_traj.dtype
 
-    # --- preparation: stage-parallel linearization for all problems
-    x_next, A, Bm = jax.vmap(
-        lambda xt, ut: linearize_trajectory(dynamics, spec.params, xt, ut,
-                                            spec.dt, spec.sim_steps)
-    )(states.x_traj, states.u_traj)
-
-    # --- batch-last diagonal QP assembly, built directly (no dense cost
-    # blocks, no QPData detour): the reference cost is LLS with selector
-    # Vx/Vu and diagonal W (generate_c_code.py:86-107), so
+    # --- batch-last diagonal QP assembly: the reference cost is LLS with
+    # selector Vx/Vu and diagonal W (generate_c_code.py:86-107), so
     # qx = q ⊙ (x - yref_x), ru = r ⊙ (u - yref_u), Hessians are the
-    # broadcast diagonals.  Skipping the dense (B, N, 13, 13) blocks saves
-    # both their construction and a ~35 MB layout transpose per step.
+    # broadcast diagonals.
     bl = lambda z: jnp.moveaxis(z, 0, -1)          # batch-first -> last
     q_diag = jnp.diagonal(cost.W)[:nx].astype(dtype)
     r_diag = jnp.diagonal(cost.W)[nx:].astype(dtype)
@@ -65,23 +59,61 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
         yref_e_b = yref_e[None]
     else:
         yref_b, yref_e_b = yref, yref_e
-    qx = q_diag * (states.x_traj[:, :-1] - yref_b[..., :nx])
-    ru = r_diag * (states.u_traj - yref_b[..., nx:])
     p = pT_diag * (states.x_traj[:, -1] - yref_e_b)
 
-    qp = dict(
-        A=bl(A), B=bl(Bm),
-        c=bl(x_next - states.x_traj[:, 1:]),
-        qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
-        qx=bl(qx),
-        ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
-        ru=bl(ru),
-        pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
-        p=bl(p),
-        lb=bl(spec.lbu - states.u_traj),
-        ub=bl(spec.ubu - states.u_traj),
-        dx0=bl(x0s - states.x_traj[:, 0]),
-    )
+    if fused_prep and spec.sim_steps == 1:
+        # preparation phase as ONE Pallas launch: ERK4 + sparse analytic
+        # VDE + assembly (ops.pallas.prep_kernel)
+        from crazyflie_nmpc_tpu.ops.pallas import prep_kernel as pk
+
+        while N % prep_stages_per_step != 0:  # shrink to a divisor of N
+            prep_stages_per_step -= 1
+
+        par = spec.params
+        ptile = jnp.stack([jnp.broadcast_to(jnp.asarray(v, dtype), (B,))
+                           for v in (par.g0, par.mq, par.Ixx, par.Iyy,
+                                     par.Izz, par.Cd, par.Ct, par.l,
+                                     spec.dt)])
+        yref_bl = jnp.broadcast_to(
+            jnp.moveaxis(yref_b, 0, -1), (N, nx + nu, B))
+        tile = lambda v, n: jnp.broadcast_to(
+            jnp.asarray(v, dtype).reshape(n, 1), (n, B))
+        A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
+            bl(states.x_traj), bl(states.u_traj), yref_bl,
+            tile(q_diag, nx), tile(r_diag, nu),
+            tile(jnp.broadcast_to(spec.lbu, (nu,)), nu),
+            tile(jnp.broadcast_to(spec.ubu, (nu,)), nu),
+            ptile, block_b=block_b,
+            stages_per_step=prep_stages_per_step, interpret=interpret)
+        qp = dict(
+            A=A_k, B=B_k, c=c_k, qx=qx_k, ru=ru_k, lb=lb_k, ub=ub_k,
+            qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
+            ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
+            pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
+            p=bl(p),
+            dx0=bl(x0s - states.x_traj[:, 0]),
+        )
+    else:
+        # XLA preparation: stage-parallel jacfwd linearization
+        x_next, A, Bm = jax.vmap(
+            lambda xt, ut: linearize_trajectory(dynamics, spec.params, xt,
+                                                ut, spec.dt, spec.sim_steps)
+        )(states.x_traj, states.u_traj)
+        qx = q_diag * (states.x_traj[:, :-1] - yref_b[..., :nx])
+        ru = r_diag * (states.u_traj - yref_b[..., nx:])
+        qp = dict(
+            A=bl(A), B=bl(Bm),
+            c=bl(x_next - states.x_traj[:, 1:]),
+            qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
+            qx=bl(qx),
+            ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
+            ru=bl(ru),
+            pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
+            p=bl(p),
+            lb=bl(spec.lbu - states.u_traj),
+            ub=bl(spec.ubu - states.u_traj),
+            dx0=bl(x0s - states.x_traj[:, 0]),
+        )
 
     # --- feedback: batch-last fused IPM
     sol = ipm_fast.solve_batched(qp, config,

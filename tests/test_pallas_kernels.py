@@ -215,3 +215,66 @@ def test_fused_corrector_sweep_matches_separate():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_prep_kernel_matches_xla_path():
+    """Fused ERK4+VDE+assembly kernel == jacfwd linearization + diagonal
+    QP assembly (the rti_step_batched preparation phase)."""
+    from crazyflie_nmpc_tpu.models import QuadrotorParams, hover_state
+    from crazyflie_nmpc_tpu.models.quadrotor import dynamics
+    from crazyflie_nmpc_tpu.ops.integrators import linearize_trajectory
+    from crazyflie_nmpc_tpu.ops.pallas import prep_kernel as pk
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+
+    spec = default_ocp(N=10, dtype=jnp.float32)
+    yref, yref_e = hover_yref(spec)
+    key = jax.random.PRNGKey(9)
+    x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+           + 0.05 * jax.random.normal(key, (B, 13), jnp.float32))
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    # gently perturbed controls so B-sensitivities are exercised
+    u = states.u_traj + 0.3 * jax.random.normal(
+        jax.random.fold_in(key, 1), states.u_traj.shape, jnp.float32)
+
+    # reference: XLA path
+    xn, A_ref, B_ref = jax.vmap(
+        lambda xt, ut: linearize_trajectory(dynamics, spec.params, xt, ut,
+                                            spec.dt, spec.sim_steps)
+    )(states.x_traj, u)
+    blm = lambda z: jnp.moveaxis(z, 0, -1)
+    c_ref = blm(xn - states.x_traj[:, 1:])
+    q_diag = jnp.diagonal(spec.cost.W)[:13]
+    r_diag = jnp.diagonal(spec.cost.W)[13:]
+    qx_ref = blm(q_diag * (states.x_traj[:, :-1] - yref[None, :, :13]))
+    ru_ref = blm(r_diag * (u - yref[None, :, 13:]))
+
+    # kernel
+    par = spec.params
+    params_tile = jnp.broadcast_to(jnp.array(
+        [par.g0, par.mq, par.Ixx, par.Iyy, par.Izz, par.Cd, par.Ct, par.l,
+         float(spec.dt)], jnp.float32)[:, None], (9, B))
+    tile = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, jnp.float32)[:, None], (len(v), B))
+    A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
+        blm(states.x_traj), blm(u),
+        jnp.broadcast_to(yref[:, :, None], yref.shape + (B,)),
+        tile(q_diag), tile(r_diag),
+        jnp.broadcast_to(spec.lbu[:, None], (4, B)),
+        jnp.broadcast_to(spec.ubu[:, None], (4, B)),
+        params_tile, block_b=B, stages_per_step=5,
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(A_k), np.asarray(blm(A_ref)),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(B_k), np.asarray(blm(B_ref)),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qx_k), np.asarray(qx_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ru_k), np.asarray(ru_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lb_k),
+                               np.asarray(blm(spec.lbu - u)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ub_k),
+                               np.asarray(blm(spec.ubu - u)), rtol=1e-6)
