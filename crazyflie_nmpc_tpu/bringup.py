@@ -72,11 +72,14 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
             "delay_steps": delay_steps}
 
 
-def nmpc_attitude_bench(steps: int = 300, port: int = 47051):
+def nmpc_attitude_bench(steps: int = 300, port: int = 47051,
+                        bag_path: str | None = None):
     """crazy_AFL.launch: the NMPC bench against the *fake* mocap bridge
     (constant origin at 10 Hz) with cmd_vel recorded at the device side —
     the reference's full-pipeline smoke test (crazy_AFL.launch:33-89,
-    publish_external_position_fake.py:14-24)."""
+    publish_external_position_fake.py:14-24).  Like the reference launch,
+    the run can record a bag of the streamed topics (rosbag record of
+    cmd_vel/euler/openloop, crazy_AFL.launch:64-72) via `bag_path`."""
     jax = _jax_cpu()
     import jax.numpy as jnp
 
@@ -128,9 +131,29 @@ def nmpc_attitude_bench(steps: int = 300, port: int = 47051):
         stats = server.stats(1)
         device_setpoint = fw.last_setpoint
         mocap_published = bridge.published
+    if bag_path:
+        from crazyflie_nmpc_tpu.runtime.bag import BagWriter
+
+        cmd_arr = np.asarray(cmd_vel_log, np.float64)
+        ts = float(spec.dt) * np.arange(len(cmd_arr))
+        with BagWriter(bag_path) as w:
+            w.write_series("cmd_vel", ts, cmd_arr)
     return {"cmd_vel": np.asarray(cmd_vel_log), "link_stats": stats,
             "device_setpoint": device_setpoint,
             "mocap_published": mocap_published}
+
+
+def bag_play(bag_path: str, channel: str | None = None):
+    """bag_play.launch + test_rosbag.launch: replay a recorded flight bag
+    in time order and summarize each channel (the rqt_plot inspection
+    step, bag_play.launch:1-31, test_rosbag.launch:1-18)."""
+    from crazyflie_nmpc_tpu.runtime.bag import Bag
+
+    bag = Bag(bag_path)
+    names = [channel] if channel else bag.names()
+    n_events = sum(1 for _ in bag.play(names))
+    return {"summary": bag.summary(), "events_replayed": n_events,
+            "channels": names}
 
 
 def pid_waypoints(goals=None, max_steps: int = 4000):
@@ -373,6 +396,7 @@ BRINGUPS = {
     "position_demo": position_demo,
     "multi_hover": multi_hover,
     "teleop": teleop,
+    "bag_play": bag_play,
 }
 
 
@@ -381,8 +405,11 @@ def main(argv=None) -> int:
 
     ap = argparse.ArgumentParser(prog="crazyflie_nmpc_tpu.bringup")
     ap.add_argument("name", choices=sorted(BRINGUPS))
+    ap.add_argument("extra", nargs="*",
+                    help="positional args for the composition "
+                         "(e.g. the bag path for bag_play)")
     args = ap.parse_args(argv)
-    out = BRINGUPS[args.name]()
+    out = BRINGUPS[args.name](*args.extra)
     for k, v in out.items():
         if isinstance(v, np.ndarray):
             v = f"array{v.shape}"

@@ -1,3 +1,8 @@
+from crazyflie_nmpc_tpu.runtime.bag import (  # noqa: F401
+    Bag,
+    BagWriter,
+    record_loop_result,
+)
 from crazyflie_nmpc_tpu.runtime.closed_loop import (  # noqa: F401
     LoopConfig,
     LoopResult,

@@ -173,10 +173,58 @@ def cmd_fly(args) -> int:
         ref_desc = args.traj
     out = np.concatenate([np.asarray(res.x), np.asarray(res.u)], axis=1)
     save_traj_txt(args.out, out)
+    if args.bag:
+        from crazyflie_nmpc_tpu.runtime.bag import record_loop_result
+
+        record_loop_result(args.bag, res, dt=float(spec.dt))
+        print(f"recorded flight bag: {args.bag}")
     err = np.linalg.norm(out[-1, :3] - np.asarray(
         [0.0, 0.0, 0.5]) if args.traj == "hover" else 0 * out[-1, :3])
     print(f"flew {out.shape[0]} ticks of {ref_desc}; wrote {args.out}")
     print(f"max |kkt|: {float(np.max(np.asarray(res.kkt_res))):.2e}")
+    return 0
+
+
+def cmd_bag(args) -> int:
+    """Inspect / export / replay a flight bag — the bag_play + rqt_plot
+    workflow of the reference (SURVEY.md §4), headless."""
+    import numpy as np
+
+    from crazyflie_nmpc_tpu.runtime.bag import Bag, ascii_plot
+
+    bag = Bag(args.path)
+    if args.action in ("csv", "plot") and not args.channel:
+        print("--channel is required for csv/plot", file=sys.stderr)
+        return 2
+    if args.action == "info":
+        print(f"bag: {args.path}")
+        for name, ent in sorted(bag.summary().items()):
+            rate = (f" @ {ent['rate_hz']:.1f} Hz"
+                    if "rate_hz" in ent else "")
+            span = (f"  t=[{ent['t0']:.3f}, {ent['t1']:.3f}]s"
+                    if "t0" in ent else "")
+            print(f"  {name:<20s} {ent['count']:>7d} x "
+                  f"{ent['dtype']}{ent['shape']}{rate}{span}")
+    elif args.action == "csv":
+        bag.to_csv(args.channel, sys.stdout)
+    elif args.action == "plot":
+        d = bag[args.channel]
+        vals = d.values.reshape(len(d.t), -1)
+        if args.col is not None:
+            vals = vals[:, [args.col]]
+        print(ascii_plot(d.t, vals.T, label=args.channel))
+    elif args.action == "play":
+        # time-ordered replay to stdout; --rate 0 dumps as fast as possible
+        t_prev = None
+        for t, name, value in bag.play(
+                args.channel.split(",") if args.channel else None):
+            if args.rate and t_prev is not None:
+                time.sleep(max(0.0, (t - t_prev) / args.rate))
+            t_prev = t
+            flat = np.asarray(value).reshape(-1)
+            body = " ".join(f"{v:+.5g}" for v in flat[:8])
+            more = " ..." if flat.size > 8 else ""
+            print(f"[{t:10.4f}] {name}: {body}{more}")
     return 0
 
 
@@ -220,7 +268,18 @@ def main(argv=None) -> int:
     p.add_argument("--ipm-iters", type=int, default=8)
     p.add_argument("--platform", default="cpu")
     p.add_argument("--out", default="/tmp/flight.txt")
+    p.add_argument("--bag", default="",
+                   help="also record the flight as a bag file")
     p.set_defaults(fn=cmd_fly)
+
+    p = sub.add_parser("bag", help="inspect/export/replay a flight bag")
+    p.add_argument("action", choices=["info", "csv", "plot", "play"])
+    p.add_argument("path")
+    p.add_argument("--channel", default="")
+    p.add_argument("--col", type=int, default=None)
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="replay speed multiplier (0 = no pacing)")
+    p.set_defaults(fn=cmd_bag)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -16,6 +16,18 @@ def test_registry_covers_headline_launches():
             "multi_hover", "teleop"} <= set(bringup.BRINGUPS)
 
 
+def test_bag_record_and_play(tmp_path):
+    """crazy_AFL's rosbag-record side channel + bag_play replay."""
+    bag_path = str(tmp_path / "afl.bag")
+    out = bringup.nmpc_attitude_bench(steps=25, port=47163,
+                                      bag_path=bag_path)
+    assert out["cmd_vel"].shape == (25, 4)
+    played = bringup.bag_play(bag_path)
+    assert played["events_replayed"] == 25
+    assert played["summary"]["cmd_vel"]["count"] == 25
+    assert abs(played["summary"]["cmd_vel"]["rate_hz"] - 1 / 0.015) < 1.0
+
+
 def test_nmpc_attitude_bench():
     out = bringup.nmpc_attitude_bench(steps=40, port=47151)
     # fake mocap kept publishing, the device saw cmd_vel setpoints, and the
