@@ -58,15 +58,20 @@ def main():
         states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
         return states, x0s
 
-    def make_step(block_b, interpret, stages_per_step=25, ipm_cfg=None):
+    def make_step(block_b, interpret, stages_per_step=25, ipm_cfg=None,
+                  condense=2):
         # stages_per_step=25: two grid steps per sweep at N=50 — the VMEM
-        # sweet spot measured on v5e (see PROGRESS notes / probe sweeps)
+        # sweet spot measured on v5e (see PROGRESS notes / probe sweeps).
+        # condense=2: block-2 partial condensing (the reference's own
+        # PARTIAL_CONDENSING_HPIPM structure) — measured +16% throughput
+        # from the halved Riccati depth; exact same QP solution (pinned by
+        # tests/test_pallas_kernels.py::test_ipm_fast_condensed_matches_ipm)
         @jax.jit
         def step(states, x0s):
             new_states, outs = rti_step_batched(
                 spec, states, x0s, yref, yref_e, ipm_cfg or cfg,
                 block_b=block_b, stages_per_step=stages_per_step,
-                interpret=interpret)
+                interpret=interpret, condense=condense)
             return new_states, outs.u0
         return step
 

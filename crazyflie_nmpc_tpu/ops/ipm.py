@@ -58,6 +58,15 @@ class IPMConfig:
     reg: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     s_min_init: float = dataclasses.field(default=1e-2,
                                           metadata=dict(static=True))
+    # initial complementarity target: duals start at lam = mu0_init / s, so
+    # the barrier parameter begins at mu0_init instead of 1.  With the warm
+    # primal iterate RTI carries (slacks already near their solution values),
+    # a centered start at mu0 < 1 removes the first ~2 Mehrotra iterations
+    # spent walking mu down from 1 — the stable form of warm-starting (it
+    # never lets products collapse the way raw dual carryover does; cf.
+    # init_state note).  1.0 reproduces the classic cold start.
+    mu0_init: float = dataclasses.field(default=1.0,
+                                        metadata=dict(static=True))
 
 
 def _max_step(v, dv, tau):
@@ -97,8 +106,9 @@ def init_state(qp: QPData, config: IPMConfig = IPMConfig(),
     z_dx = jnp.zeros((N + 1, nx), dtype)
     s_l = jnp.where(finite_l, jnp.maximum(-lb, config.s_min_init), 1.0)
     s_u = jnp.where(finite_u, jnp.maximum(ub, config.s_min_init), 1.0)
-    lam_l = jnp.where(finite_l, 1.0 / s_l, 0.0)
-    lam_u = jnp.where(finite_u, 1.0 / s_u, 0.0)
+    mu0 = jnp.asarray(config.mu0_init, dtype)
+    lam_l = jnp.where(finite_l, mu0 / s_l, 0.0)
+    lam_u = jnp.where(finite_u, mu0 / s_u, 0.0)
     lam_min = 1e-4
     if lam0_l is not None:
         lam_l = jnp.where(finite_l, jnp.maximum(lam0_l, lam_min), 0.0)

@@ -28,7 +28,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      block_b: int = 128, stages_per_step: int = 1,
                      interpret: bool = False,
                      fused_prep: bool = True,
-                     prep_stages_per_step: int = 5):
+                     prep_stages_per_step: int = 5,
+                     condense: int = 1):
     """One RTI iteration for a batch of problems.
 
     Args:
@@ -119,7 +120,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
     sol = ipm_fast.solve_batched(qp, config,
                                  block_b=block_b,
                                  stages_per_step=stages_per_step,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 condense=condense)
     dx = jnp.moveaxis(sol.dx, -1, 0)   # (B, N+1, nx)
     du = jnp.moveaxis(sol.du, -1, 0)   # (B, N, nu)
 

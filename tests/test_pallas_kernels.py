@@ -278,3 +278,116 @@ def test_prep_kernel_matches_xla_path():
                                np.asarray(blm(spec.lbu - u)), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ub_k),
                                np.asarray(blm(spec.ubu - u)), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# block-2 partial condensing (the reference's PARTIAL_CONDENSING_HPIPM
+# structure, generate_c_code.py:140) — condensed kernels + solver path
+# ---------------------------------------------------------------------------
+
+def test_condense2_matches_einsum_reference():
+    """The condensing kernel is an exact algebraic elimination; pin it
+    against a plain-XLA einsum construction."""
+    from crazyflie_nmpc_tpu.ops.pallas import condensed_kernels as ck
+
+    diag, dense = batch_lq(jax.random.PRNGKey(7))
+    A, Bm, c = diag["A"], diag["B"], diag["c"]         # (B, N, ...)
+    qxx, qx, ru = diag["qxx"], diag["qx"], diag["ru"]
+
+    cnd = ck.condense2(bl(A), bl(Bm), bl(c), bl(qxx), bl(qx), bl(ru),
+                       block_b=B, interpret=True)
+
+    A0, A1 = A[:, 0::2], A[:, 1::2]
+    B0, B1 = Bm[:, 0::2], Bm[:, 1::2]
+    c0, c1 = c[:, 0::2], c[:, 1::2]
+    q0, q1 = qxx[:, 0::2], qxx[:, 1::2]
+    mm = lambda X, Y: jnp.einsum("bkij,bkjl->bkil", X, Y)
+    mv = lambda X, y: jnp.einsum("bkij,bkj->bki", X, y)
+    tr = lambda X: jnp.swapaxes(X, -1, -2)
+
+    Abar = mm(A1, A0)
+    Bbar = jnp.concatenate([mm(A1, B0), B1], axis=-1)
+    cbar = mv(A1, c0) + c1
+    qA = q1[..., :, None] * A0
+    Qbar = mm(tr(A0), qA) + jax.vmap(jax.vmap(jnp.diag))(q0)
+    S1T = mm(tr(B0), qA)
+    R00 = mm(tr(B0), q1[..., :, None] * B0)
+    h = q1 * c0 + qx[:, 1::2]
+    qbar = qx[:, 0::2] + mv(tr(A0), h)
+    rbar = jnp.concatenate([ru[:, 0::2] + mv(tr(B0), h), ru[:, 1::2]],
+                           axis=-1)
+
+    for name, got, want in (("Abar", cnd["Abar"], Abar),
+                            ("Bbar", cnd["Bbar"], Bbar),
+                            ("cbar", cnd["cbar"], cbar),
+                            ("Qbar", cnd["Qbar"], Qbar),
+                            ("S1T", cnd["S1T"], S1T),
+                            ("R00", cnd["R00"], R00),
+                            ("qbar", cnd["qbar"], qbar),
+                            ("rbar", cnd["rbar"], rbar)):
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(got, -1, 0)), np.asarray(want),
+            rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_ipm_fast_condensed_matches_ipm():
+    """Condensed-path IPM vs the reference `ops.ipm` on bounded QPs —
+    block-2 condensing is an exact reparametrization, so the solutions
+    (and in fact the iterates) must agree."""
+    keys = jax.random.split(jax.random.PRNGKey(8), B)
+    qps = []
+    for k in keys:
+        diag, dense = random_diag_lq(k)
+        _, du_ref = riccati.solve_lq(
+            A=dense["A"], B=dense["B"], c=dense["c"], Qxx=dense["Qxx"],
+            qx=dense["qx"], Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+            P_term=dense["P_term"], p_term=dense["p_term"],
+            dx0=dense["dx0"])
+        lim = 0.5 * float(jnp.max(jnp.abs(du_ref)))
+        qps.append(QPData(A=dense["A"], B=dense["B"], c=dense["c"],
+                          Qxx=dense["Qxx"], qx=dense["qx"],
+                          Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+                          P=dense["P_term"], p=dense["p_term"],
+                          lb=jnp.full((N, NUD), -lim),
+                          ub=jnp.full((N, NUD), lim), dx0=dense["dx0"]))
+    batched = jax.tree.map(
+        lambda *xs: jnp.stack(xs).astype(jnp.float32), *qps)
+
+    cfg = ipm.IPMConfig(iters=8)
+    ref = jax.vmap(lambda q: ipm.solve(q, cfg))(batched)
+    fast = ipm_fast.solve_batched(ipm_fast.from_qpdata(batched), cfg,
+                                  condense=2, **KERN)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(fast.du, -1, 0)),
+                               np.asarray(ref.du), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(fast.dx, -1, 0)),
+                               np.asarray(ref.dx), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(fast.lam_l, -1, 0)),
+                               np.asarray(ref.lam_l), rtol=5e-3, atol=5e-3)
+
+
+def test_rti_step_batched_condensed_matches_plain():
+    from crazyflie_nmpc_tpu.models import hover_state, NX
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+    from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
+
+    spec = default_ocp(N=10, dtype=jnp.float32)
+    yref, yref_e = hover_yref(spec)
+    key = jax.random.PRNGKey(9)
+    x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+           + 0.03 * jax.random.normal(key, (B, NX), jnp.float32))
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    cfg = ipm.IPMConfig(iters=8)
+
+    _, out1 = rti_step_batched(spec, states, x0s, yref, yref_e, cfg,
+                               block_b=B, stages_per_step=5,
+                               interpret=True, condense=1)
+    _, out2 = rti_step_batched(spec, states, x0s, yref, yref_e, cfg,
+                               block_b=B, stages_per_step=5,
+                               interpret=True, condense=2)
+    # f32 + 8 barrier iterations: the two paths take different arithmetic
+    # routes to the same QP solution; agreement is tight but not bitwise
+    np.testing.assert_allclose(np.asarray(out2.u0), np.asarray(out1.u0),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out2.x_plan),
+                               np.asarray(out1.x_plan), rtol=1e-2,
+                               atol=3e-3)
