@@ -41,7 +41,10 @@ def main():
         hover_yref,
         init_rti,
     )
-    from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
+    from crazyflie_nmpc_tpu.solver.rti_batched import (
+        rti_step_batched,
+        to_batch_last,
+    )
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
@@ -56,7 +59,9 @@ def main():
         x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
                + 0.05 * jax.random.normal(key, (B, 13), jnp.float32))
         states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
-        return states, x0s
+        # serving loop carries kernel-layout (batch-last) state: chained
+        # steps then skip two large layout transposes per tick
+        return to_batch_last(states), x0s
 
     def make_step(block_b, interpret, stages_per_step=25, ipm_cfg=None,
                   condense=2):
@@ -71,7 +76,8 @@ def main():
             new_states, outs = rti_step_batched(
                 spec, states, x0s, yref, yref_e, ipm_cfg or cfg,
                 block_b=block_b, stages_per_step=stages_per_step,
-                interpret=interpret, condense=condense)
+                interpret=interpret, condense=condense,
+                layout="batch_last")
             return new_states, outs.u0
         return step
 

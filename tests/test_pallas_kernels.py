@@ -391,3 +391,38 @@ def test_rti_step_batched_condensed_matches_plain():
     np.testing.assert_allclose(np.asarray(out2.x_plan),
                                np.asarray(out1.x_plan), rtol=1e-2,
                                atol=3e-3)
+
+
+def test_rti_step_batched_batch_last_layout():
+    """batch_last layout must produce the same numbers as batch_first
+    (it is the same computation minus two layout transposes)."""
+    from crazyflie_nmpc_tpu.models import hover_state, NX
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+    from crazyflie_nmpc_tpu.solver.rti_batched import (
+        rti_step_batched,
+        to_batch_first,
+        to_batch_last,
+    )
+
+    spec = default_ocp(N=10, dtype=jnp.float32)
+    yref, yref_e = hover_yref(spec)
+    key = jax.random.PRNGKey(11)
+    x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+           + 0.03 * jax.random.normal(key, (B, NX), jnp.float32))
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    cfg = ipm.IPMConfig(iters=6)
+    kw = dict(block_b=B, stages_per_step=5, interpret=True, condense=2)
+
+    new1, out1 = rti_step_batched(spec, states, x0s, yref, yref_e, cfg,
+                                  **kw)
+    new2, out2 = rti_step_batched(spec, to_batch_last(states), x0s, yref,
+                                  yref_e, cfg, layout="batch_last", **kw)
+    new2_bf = to_batch_first(new2)
+    np.testing.assert_allclose(np.asarray(new2_bf.u_traj),
+                               np.asarray(new1.u_traj), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(out2.u0, -1, 0)),
+                               np.asarray(out1.u0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2.kkt_res),
+                               np.asarray(out1.kkt_res), rtol=1e-6,
+                               atol=1e-6)
