@@ -77,6 +77,10 @@ def load_library() -> ct.CDLL:
                                           ct.c_float, ct.c_float]
             lib.cfl_send_goto.argtypes = [ct.c_void_p, ct.c_int, ct.c_uint8,
                                           ct.c_int] + [ct.c_float] * 5
+            lib.cfl_send_set_group_mask.argtypes = [ct.c_void_p, ct.c_int,
+                                                    ct.c_uint8]
+            lib.cfl_send_hl_stop.argtypes = [ct.c_void_p, ct.c_int,
+                                             ct.c_uint8]
             lib.cfl_send_start_trajectory.argtypes = [
                 ct.c_void_p, ct.c_int, ct.c_uint8, ct.c_int, ct.c_int,
                 ct.c_uint8, ct.c_float]
@@ -367,6 +371,18 @@ class LinkServer:
         return self._lib.cfl_send_goto(self._handle, vid, group_mask,
                                        int(relative), x, y, z, yaw,
                                        duration) == 0
+
+    def set_group_mask(self, vid, group_mask: int) -> bool:
+        """The SetGroupMask service (srv/SetGroupMask.srv): assign the
+        vehicle's HL-commander group memberships."""
+        return self._lib.cfl_send_set_group_mask(self._handle, vid,
+                                                 group_mask) == 0
+
+    def hl_stop(self, vid, group_mask: int = 0) -> bool:
+        """The Stop service (srv/Stop.srv): abort the running high-level
+        command (distinct from the low-level stop setpoint)."""
+        return self._lib.cfl_send_hl_stop(self._handle, vid,
+                                          group_mask) == 0
 
     def start_trajectory(self, vid, traj_id: int, timescale: float = 1.0,
                          relative=False, reversed=False,

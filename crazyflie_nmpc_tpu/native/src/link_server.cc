@@ -351,6 +351,14 @@ int cfl_send_goto(void* sv, int id, uint8_t group, int relative, float x,
                                        duration));
 }
 
+int cfl_send_set_group_mask(void* sv, int id, uint8_t group) {
+  return QueuePacket(sv, id, cfl::EncodeHlSetGroupMask(group));
+}
+
+int cfl_send_hl_stop(void* sv, int id, uint8_t group) {
+  return QueuePacket(sv, id, cfl::EncodeHlStop(group));
+}
+
 int cfl_send_start_trajectory(void* sv, int id, uint8_t group, int relative,
                               int reversed, uint8_t traj_id,
                               float timescale) {

@@ -248,13 +248,19 @@ def test_high_level_commander():
         assert server.go_to(1, 1.0, -0.5, 0.8, 0.25, 3.0)
         assert server.land(1, height=0.04, duration=2.5)
 
+        assert server.set_group_mask(1, 0b101)
+        assert server.hl_stop(1, group_mask=0b001)
+
         cmds = _wait(lambda: fw.hl_commands
-                     if len(fw.hl_commands) >= 3 else None)
-        assert [c["cmd"] for c in cmds[:3]] == ["takeoff", "go_to", "land"]
+                     if len(fw.hl_commands) >= 5 else None)
+        assert [c["cmd"] for c in cmds[:5]] == [
+            "takeoff", "go_to", "land", "set_group_mask", "stop"]
         assert abs(cmds[0]["height"] - 0.6) < 1e-6
         assert abs(cmds[1]["x"] - 1.0) < 1e-6
         assert abs(cmds[1]["yaw"] - 0.25) < 1e-6
         assert abs(cmds[2]["duration"] - 2.5) < 1e-6
+        assert cmds[3]["group"] == 0b101
+        assert cmds[4]["group"] == 0b001
 
 
 def test_trajectory_upload():
