@@ -294,6 +294,94 @@ def system_identification(steps: int = 400, port: int = 47053):
     return {"measurements": np.asarray(meas), "rows": n}
 
 
+def thrust_identification(steps: int = 100, port: int = 47054,
+                          thrust_pwm: int = 12000):
+    """thrust_identification.launch + const_thrust.py: stream a constant
+    cmd_vel thrust (const_thrust.py:16-18, 50 Hz) while logging the motor
+    PWM echo at 10 ms (thrust_identification.launch:26-35) — the capture
+    used offline to fit the krpm2pwm map (acados_mpc.cpp:421-425)."""
+    import struct
+    import time
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.solver.outputs import pwm2krpm
+
+    sim = {}
+
+    def provider(name):
+        # a real CF at level attitude echoes the commanded thrust on all
+        # four motors — that echo is exactly what the launch file records
+        fw = sim.get("fw")
+        sp = fw.last_setpoint if fw else None
+        if name.startswith("motor.m") and sp is not None:
+            return float(sp[3])
+        return 0.0
+
+    with native.FirmwareSim(port, state_provider=provider).serve() as fw, \
+            native.LinkServer() as server:
+        sim["fw"] = fw
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        motor_ids = [fw.log_vars[f"motor.m{i}"][0] for i in range(1, 5)]
+        server.log_create_block(1, 1, [(7, i) for i in motor_ids[:3]])
+        server.log_start_block(1, 1, 1)  # 10 ms
+
+        rows = []
+        next_sp = 0.0
+        deadline = time.time() + 20.0
+        while len(rows) < steps and time.time() < deadline:
+            now = time.time()
+            if now >= next_sp:  # 50 Hz constant-thrust stream
+                server.send_setpoint(1, 0.0, 0.0, 0.0, thrust_pwm)
+                next_sp = now + 0.02
+            rec = server.poll_log(1)
+            if rec is None:
+                time.sleep(0.001)
+                continue
+            if rec["block_id"] == 1 and len(rec["payload"]) >= 12:
+                rows.append(struct.unpack("<fff", rec["payload"][:12]))
+        pwm = np.asarray(rows)
+        # drop rows streamed before the first setpoint landed
+        pwm = pwm[np.any(pwm > 0, axis=1)]
+    return {"rows": len(pwm), "motor_pwm": pwm,
+            "commanded_pwm": thrust_pwm,
+            "implied_krpm": float(pwm2krpm(float(pwm.mean())))
+            if len(pwm) else float("nan")}
+
+
+def high_level_mission(port: int = 47056):
+    """test_high_level.py: enable the high-level commander + Mellinger
+    controller + EKF via params, reset the estimator, then a scripted
+    takeoff(0.5 m, 5 s) → land → stop mission over the wire
+    (test_high_level.py:13-23,50)."""
+    from crazyflie_nmpc_tpu import native
+
+    with native.FirmwareSim(port).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        toc = server.download_param_toc(1)
+        for name, v in [("commander/enHighLevel", 1),
+                        ("stabilizer/estimator", 2),
+                        ("stabilizer/controller", 2),
+                        ("kalman/resetEstimation", 1)]:
+            server.set_param(1, toc[name][0], v, ptype="uint8")
+        server.takeoff(1, height=0.5, duration=5.0)
+        server.land(1, height=0.0, duration=5.0)
+        server.hl_stop(1)
+
+        import time
+
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if any(c["cmd"] == "stop" for c in fw.hl_commands):
+                break
+            time.sleep(0.01)
+        return {"hl_commands": list(fw.hl_commands),
+                "params": {n: fw.get_param(n) for n in
+                           ("commander/enHighLevel", "stabilizer/estimator",
+                            "stabilizer/controller",
+                            "kalman/resetEstimation")}}
+
+
 def hover_demo(port: int = 47055):
     """hover.launch + Hover.py through the real link + firmware sim."""
     from crazyflie_nmpc_tpu import native
@@ -392,6 +480,8 @@ BRINGUPS = {
     "nmpc_attitude_bench": nmpc_attitude_bench,
     "pid_waypoints": pid_waypoints,
     "system_identification": system_identification,
+    "thrust_identification": thrust_identification,
+    "high_level_mission": high_level_mission,
     "hover_demo": hover_demo,
     "position_demo": position_demo,
     "multi_hover": multi_hover,

@@ -13,7 +13,8 @@ from crazyflie_nmpc_tpu import bringup
 def test_registry_covers_headline_launches():
     assert {"nmpc_predictor", "nmpc_attitude_bench", "pid_waypoints",
             "system_identification", "hover_demo", "position_demo",
-            "multi_hover", "teleop"} <= set(bringup.BRINGUPS)
+            "multi_hover", "teleop", "thrust_identification",
+            "high_level_mission"} <= set(bringup.BRINGUPS)
 
 
 def test_bag_record_and_play(tmp_path):
@@ -75,3 +76,29 @@ def test_multi_hover_two_vehicles():
     out = bringup.multi_hover(n=2, base_port=47161)
     assert out["vehicles"] == 2 and out["landed"]
     assert all(s["sent"] > 0 for s in out["stats"])
+
+
+def test_thrust_identification_capture():
+    """thrust_identification.launch + const_thrust.py: constant cmd_vel
+    thrust streamed at 50 Hz, motor PWM echo logged at 10 ms."""
+    out = bringup.thrust_identification(steps=30, port=47165,
+                                        thrust_pwm=12000)
+    assert out["rows"] >= 10
+    assert np.allclose(out["motor_pwm"], 12000.0)
+    # pwm2krpm inverts the krpm2pwm map (acados_mpc.cpp:421-425)
+    assert out["implied_krpm"] == pytest.approx(
+        (12000 * 0.2685 + 4070.3) / 1000.0, rel=1e-6)
+
+
+def test_high_level_mission_script():
+    """test_high_level.py: param setup + takeoff/land/stop over the wire."""
+    out = bringup.high_level_mission(port=47167)
+    cmds = [c["cmd"] for c in out["hl_commands"]]
+    assert cmds[:3] == ["takeoff", "land", "stop"]
+    tk = out["hl_commands"][0]
+    assert tk["height"] == pytest.approx(0.5)
+    assert tk["duration"] == pytest.approx(5.0)
+    assert out["params"] == {"commander/enHighLevel": 1,
+                             "stabilizer/estimator": 2,
+                             "stabilizer/controller": 2,
+                             "kalman/resetEstimation": 1}
