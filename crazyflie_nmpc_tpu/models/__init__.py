@@ -11,3 +11,13 @@ from crazyflie_nmpc_tpu.models.quadrotor import (  # noqa: F401
     hover_state,
 )
 from crazyflie_nmpc_tpu.models import rotations  # noqa: F401
+from crazyflie_nmpc_tpu.models.cartpole import (  # noqa: F401
+    CP_NU,
+    CP_NX,
+    CP_NY,
+    CartpoleParams,
+    cartpole_dynamics,
+    cartpole_ocp,
+    downward_state,
+    upright_state,
+)

@@ -62,6 +62,31 @@ class OCPSpec:
     tf: Any    # horizon length [s]
     N: int = dataclasses.field(default=50, metadata=dict(static=True))
     sim_steps: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # the ODE xdot = f(params, x, u).  The reference's model layer is
+    # user-pluggable (any CasADi AcadosModel through generate_c_code.py:36);
+    # here any JAX callable slots into the same generic RTI machinery.
+    # None selects the Crazyflie quadrotor (models/quadrotor.py).  The fused
+    # batch-last kernels (rti_batched/ipm_fast) remain quadrotor-specialized.
+    f: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    # steady-state input used to seed the RTI warm start; None selects the
+    # quadrotor hover speed (params.hover_speed() broadcast to (nu,)).
+    u_ss: Any = None
+
+    def ode(self):
+        """The model ODE (f or the quadrotor default)."""
+        if self.f is not None:
+            return self.f
+        from crazyflie_nmpc_tpu.models.quadrotor import dynamics
+        return dynamics
+
+    def steady_input(self, dtype):
+        """(nu,) warm-start input: u_ss, or hover speed on all rotors."""
+        import jax.numpy as _jnp
+
+        if self.u_ss is not None:
+            return _jnp.asarray(self.u_ss, dtype)
+        nu = self.lbu.shape[0]
+        return _jnp.full((nu,), self.params.hover_speed()).astype(dtype)
 
     @property
     def dt(self):

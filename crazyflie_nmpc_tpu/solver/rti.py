@@ -31,7 +31,6 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from crazyflie_nmpc_tpu.models.quadrotor import NU, NX, dynamics
 from crazyflie_nmpc_tpu.ops import ipm
 from crazyflie_nmpc_tpu.ops.integrators import linearize_trajectory, rollout
 from crazyflie_nmpc_tpu.ops.qp import build_qp, gauss_newton_cost_blocks
@@ -65,15 +64,16 @@ class RTIOutput(NamedTuple):
 
 
 def init_rti(spec: OCPSpec, x0: jax.Array) -> RTIState:
-    """Initialize the warm start: hover-input rollout from x0.
+    """Initialize the warm start: steady-input rollout from x0.
 
     The reference leaves nlp_out zero-initialized and lets early RTI steps
-    pull it in; a hover rollout is a strictly better-conditioned start and
-    converges to the same fixed point (tested in test_rti.py).
+    pull it in; a steady-state-input rollout (hover for the quadrotor) is a
+    strictly better-conditioned start and converges to the same fixed point
+    (tested in test_rti.py).
     """
-    uss = spec.params.hover_speed().astype(x0.dtype)
-    u_traj = jnp.full((spec.N, NU), uss, x0.dtype)
-    x_traj = rollout(dynamics, spec.params, x0, u_traj, spec.dt,
+    uss = spec.steady_input(x0.dtype)
+    u_traj = jnp.broadcast_to(uss, (spec.N,) + uss.shape).astype(x0.dtype)
+    x_traj = rollout(spec.ode(), spec.params, x0, u_traj, spec.dt,
                      spec.sim_steps)
     return RTIState(x_traj=x_traj, u_traj=u_traj)
 
@@ -91,7 +91,7 @@ def rti_step(spec: OCPSpec, state: RTIState, x0: jax.Array,
     """
     # --- preparation phase: stage-parallel linearization (vmap over stages)
     x_next, A, B = linearize_trajectory(
-        dynamics, spec.params, state.x_traj, state.u_traj, spec.dt,
+        spec.ode(), spec.params, state.x_traj, state.u_traj, spec.dt,
         spec.sim_steps)
 
     cost = spec.cost

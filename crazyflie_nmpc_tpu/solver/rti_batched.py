@@ -57,6 +57,12 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
     Returns (RTIState', RTIOutput) in the same layout as the input
     (batch_last: u0/u1 are (nu,B), plans are stage-major batch-last).
     """
+    if spec.f is not None:
+        raise ValueError(
+            "rti_step_batched is specialized to the Crazyflie quadrotor "
+            "(fused prep kernel with hand-derived sparse Jacobians); "
+            "custom-model specs (spec.f set) use solver.rti.rti_step, "
+            "batched with jax.vmap.")
     B = x0s.shape[0]
     cost = spec.cost
     batch_last = layout == "batch_last"
