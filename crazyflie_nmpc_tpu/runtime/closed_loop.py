@@ -23,7 +23,6 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from crazyflie_nmpc_tpu.models.quadrotor import NU, NX, dynamics
 from crazyflie_nmpc_tpu.ops import ipm
 from crazyflie_nmpc_tpu.ops.integrators import integrate
 from crazyflie_nmpc_tpu.solver import policies as policies_mod
@@ -79,11 +78,12 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
     take u1' for d = 1-step actuation lag + measurement lag.
     """
     d = config.delay_steps
-    uss = spec.params.hover_speed().astype(x_init.dtype)
+    f = spec.ode()
+    uss = spec.steady_input(x_init.dtype)
 
     rti0 = init_rti(spec, x_init)
     # pending command pipeline: commands in flight (oldest first)
-    u_pipe0 = jnp.full((max(d, 1), NU), uss, x_init.dtype)
+    u_pipe0 = jnp.broadcast_to(uss, (max(d, 1),) + uss.shape)
 
     def tick(carry, _):
         x_plant, rti_state, pol_state, u_pipe, u_prev = carry
@@ -97,7 +97,7 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
         # the commands already in flight (acados_estimator.cpp:573-593).
         def predict(x):
             def body(xc, u_k):
-                return integrate(dynamics, spec.params, xc, u_k, spec.dt,
+                return integrate(f, spec.params, xc, u_k, spec.dt,
                                  spec.sim_steps), None
             xp, _ = jax.lax.scan(body, x, u_pipe[:d]) if d > 0 else (x, None)
             return xp
@@ -129,15 +129,14 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
             u_apply = u_cmd
 
         # --- plant step (finer substepping than the controller model)
-        x_next = integrate(dynamics, spec.params, x_plant, u_apply, spec.dt,
+        x_next = integrate(f, spec.params, x_plant, u_apply, spec.dt,
                            config.plant_substeps)
 
         carry = (x_next, rti_state, pol_next, u_pipe, u_cmd)
         outs = (x_plant, u_apply, u_cmd, out.kkt_res, pol_state.mode)
         return carry, outs
 
-    carry0 = (x_init, rti0, policy_state, u_pipe0,
-              jnp.full((NU,), uss, x_init.dtype))
+    carry0 = (x_init, rti0, policy_state, u_pipe0, uss)
     _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
         tick, carry0, None, length=steps)
     return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
@@ -148,7 +147,8 @@ def hover_regulation(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
                      steps=1320, config: LoopConfig = LoopConfig()):
     """BASELINE config 1: hover regulation closed loop (20 s at 66.6 Hz)."""
     pol = policies_mod.regulation_state(setpoint)
-    dummy_table = jnp.zeros((1, NX + NU), x_init.dtype)
+    ny = spec.cost.W.shape[0]
+    dummy_table = jnp.zeros((1, ny), x_init.dtype)
     return simulate(spec, x_init, pol, dummy_table, steps, config)
 
 
