@@ -10,3 +10,9 @@ from crazyflie_nmpc_tpu.runtime.closed_loop import (  # noqa: F401
     simulate,
     trajectory_tracking,
 )
+from crazyflie_nmpc_tpu.runtime.tuning import (  # noqa: F401
+    TuneResult,
+    hover_objective,
+    spec_with_diag_cost,
+    tune_diagonal_cost,
+)

@@ -8,3 +8,4 @@ from crazyflie_nmpc_tpu.utils.trajectories import (  # noqa: F401
     save_traj_txt,
     smooth_step_trajectory,
 )
+from crazyflie_nmpc_tpu.utils import profiling  # noqa: F401

@@ -254,3 +254,26 @@ def test_toc_tool(capsys):
     out = capsys.readouterr().out
     assert "commander/enHighLevel" in out and "uint8" in out
     assert "gyro.x" in out and "float" in out
+
+
+def test_profiler_trace_capture(tmp_path):
+    """utils.profiling: a device trace is captured with named phases
+    (the reference's per-solve timing plane, SURVEY §5, on the XLA
+    profiler instead of rosbag/rqt_plot)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu.utils import profiling
+
+    d = str(tmp_path / "trace")
+
+    @jax.jit
+    def f(x):
+        with profiling.phase("test-phase"):
+            return (x @ x).sum()
+
+    with profiling.trace(d):
+        out = f(jnp.ones((64, 64)))
+        jax.block_until_ready(out)
+    files = profiling.trace_files(d)
+    assert files, f"no trace artifacts under {d}"
