@@ -322,7 +322,7 @@ def thrust_identification(steps: int = 100, port: int = 47054,
         sim["fw"] = fw
         server.add_vehicle(1, "127.0.0.1", port, port + 1)
         motor_ids = [fw.log_vars[f"motor.m{i}"][0] for i in range(1, 5)]
-        server.log_create_block(1, 1, [(7, i) for i in motor_ids[:3]])
+        server.log_create_block(1, 1, [(7, i) for i in motor_ids])
         server.log_start_block(1, 1, 1)  # 10 ms
 
         rows = []
@@ -337,9 +337,9 @@ def thrust_identification(steps: int = 100, port: int = 47054,
             if rec is None:
                 time.sleep(0.001)
                 continue
-            if rec["block_id"] == 1 and len(rec["payload"]) >= 12:
-                rows.append(struct.unpack("<fff", rec["payload"][:12]))
-        pwm = np.asarray(rows)
+            if rec["block_id"] == 1 and len(rec["payload"]) >= 16:
+                rows.append(struct.unpack("<ffff", rec["payload"][:16]))
+        pwm = np.asarray(rows).reshape(-1, 4)
         # drop rows streamed before the first setpoint landed
         pwm = pwm[np.any(pwm > 0, axis=1)]
     return {"rows": len(pwm), "motor_pwm": pwm,

@@ -90,19 +90,10 @@ def cartpole_ocp(params: CartpoleParams | None = None, N: int = 40,
     — i.e. the exact shape generate_c_code.py:62-136 builds, for a
     different model.
     """
-    from crazyflie_nmpc_tpu.solver.ocp import CostSpec, OCPSpec
+    from crazyflie_nmpc_tpu.solver.ocp import OCPSpec, diagonal_lls_cost
 
     params = params or CartpoleParams()
-    q = jnp.asarray(q_diag, dtype)
-    r = jnp.asarray(r_diag, dtype)
-    W = jnp.diag(jnp.concatenate([q, r]))
-    Vx = jnp.zeros((CP_NY, CP_NX), dtype).at[:CP_NX, :].set(
-        jnp.eye(CP_NX, dtype=dtype))
-    Vu = jnp.zeros((CP_NY, CP_NU), dtype).at[CP_NX:, :].set(
-        jnp.eye(CP_NU, dtype=dtype))
-    cost = CostSpec(W=W, Vx=Vx, Vu=Vu,
-                    W_e=jnp.diag(terminal_factor * q),
-                    Vx_e=jnp.eye(CP_NX, dtype=dtype))
+    cost = diagonal_lls_cost(q_diag, r_diag, terminal_factor, dtype)
     return OCPSpec(
         params=params,
         cost=cost,

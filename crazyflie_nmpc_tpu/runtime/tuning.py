@@ -59,8 +59,12 @@ def tune_diagonal_cost(spec: OCPSpec,
     """
     import optax
 
-    w0 = jnp.diagonal(spec.cost.W)
-    we0 = jnp.diagonal(spec.cost.W_e)
+    # floor zero diagonal entries: log(0) = -inf would give nan gradients
+    # that poison every weight through Adam; exp(log(floor)) ~ 1e-12 keeps
+    # an unpenalized channel effectively unpenalized while staying tunable
+    floor = 1e-12
+    w0 = jnp.maximum(jnp.diagonal(spec.cost.W), floor)
+    we0 = jnp.maximum(jnp.diagonal(spec.cost.W_e), floor)
     theta0 = (jnp.log(w0), jnp.log(we0))
 
     def loss_fn(theta):
@@ -69,6 +73,9 @@ def tune_diagonal_cost(spec: OCPSpec,
 
     opt = optax.adam(lr)
     value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
+    # forward-only graph for the final readback: compiling the full
+    # differentiated closed loop a second time would ~double compile cost
+    loss_only = jax.jit(loss_fn)
 
     @jax.jit
     def step(theta, opt_state):
@@ -89,7 +96,7 @@ def tune_diagonal_cost(spec: OCPSpec,
         theta = new_theta
         losses.append(val)
     # losses[0] is the untuned objective; append the final iterate's.
-    final = value_and_grad(theta)[0]
+    final = loss_only(theta)
     if float(final) < float(best_val):
         best_theta = theta
     losses = jnp.stack(losses + [final])

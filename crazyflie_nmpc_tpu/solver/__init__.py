@@ -2,6 +2,7 @@ from crazyflie_nmpc_tpu.solver.ocp import (  # noqa: F401
     CostSpec,
     OCPSpec,
     default_cost,
+    diagonal_lls_cost,
     default_ocp,
     hover_yref,
 )

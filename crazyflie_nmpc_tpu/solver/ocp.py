@@ -102,17 +102,28 @@ R_DIAG_REF = np.array([0.06, 0.06, 0.06, 0.06])       # rotor speeds
 WN_FACTOR_REF = 50.0                                   # W_e = 50 Q (:109)
 
 
+def diagonal_lls_cost(q_diag, r_diag, terminal_factor=WN_FACTOR_REF,
+                      dtype=jnp.float32) -> CostSpec:
+    """Diagonal LLS cost for any model dims: W = blkdiag(Q, R),
+    W_e = terminal_factor * Q, selector Vx/Vu — the exact structure
+    generate_c_code.py:62-129 builds, with nx/nu inferred from the
+    diagonals."""
+    q_diag = jnp.asarray(q_diag, dtype)
+    r_diag = jnp.asarray(r_diag, dtype)
+    nx, nu = q_diag.shape[0], r_diag.shape[0]
+    ny = nx + nu
+    W = jnp.diag(jnp.concatenate([q_diag, r_diag]))
+    Vx = jnp.zeros((ny, nx), dtype).at[:nx, :].set(jnp.eye(nx, dtype=dtype))
+    Vu = jnp.zeros((ny, nu), dtype).at[nx:, :].set(jnp.eye(nu, dtype=dtype))
+    W_e = jnp.diag(terminal_factor * q_diag)
+    Vx_e = jnp.eye(nx, dtype=dtype)
+    return CostSpec(W=W, Vx=Vx, Vu=Vu, W_e=W_e, Vx_e=Vx_e)
+
+
 def default_cost(q_diag=Q_DIAG_REF, r_diag=R_DIAG_REF,
                  terminal_factor=WN_FACTOR_REF, dtype=jnp.float32) -> CostSpec:
     """The reference cost: W = blkdiag(Q, R), W_e = 50 Q, selector Vx/Vu."""
-    q_diag = jnp.asarray(q_diag, dtype)
-    r_diag = jnp.asarray(r_diag, dtype)
-    W = jnp.diag(jnp.concatenate([q_diag, r_diag]))
-    Vx = jnp.zeros((NY, NX), dtype).at[:NX, :].set(jnp.eye(NX, dtype=dtype))
-    Vu = jnp.zeros((NY, NU), dtype).at[NX:, :].set(jnp.eye(NU, dtype=dtype))
-    W_e = jnp.diag(terminal_factor * q_diag)
-    Vx_e = jnp.eye(NX, dtype=dtype)
-    return CostSpec(W=W, Vx=Vx, Vu=Vu, W_e=W_e, Vx_e=Vx_e)
+    return diagonal_lls_cost(q_diag, r_diag, terminal_factor, dtype)
 
 
 def default_ocp(params: QuadrotorParams | None = None, N: int = 50,

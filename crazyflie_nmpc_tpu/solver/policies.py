@@ -38,7 +38,8 @@ class PolicyState:
 
     mode: Any       # int32 scalar: REGULATION / TRACKING / POSITION_HOLD
     playhead: Any   # int32 scalar: row index into the trajectory table
-    setpoint: Any   # (3,) regulation position target
+    setpoint: Any   # (3,) regulation position target (reference layout),
+    #                 or a full (ny,) reference row for custom-model specs
 
 
 def regulation_state(setpoint=(0.0, 0.0, 0.5)) -> PolicyState:
@@ -51,33 +52,58 @@ def tracking_state(setpoint=(0.0, 0.0, 0.5)) -> PolicyState:
                        setpoint=jnp.asarray(setpoint))
 
 
-def _constant_yref(spec: OCPSpec, pos, uss):
-    y = jnp.zeros((NY,), pos.dtype)
-    y = y.at[0:3].set(pos).at[3].set(1.0).at[NX:].set(uss)
-    return jnp.broadcast_to(y, (spec.N + 1, NY))
+def _quad_row(pos, uss, dtype):
+    """Reference regulation row: position, identity attitude, zero
+    velocities/rates, hover input (acados_mpc.cpp:432-456)."""
+    y = jnp.zeros((NY,), dtype)
+    return y.at[0:3].set(pos).at[3].set(1.0).at[NX:].set(uss)
 
 
 def make_yref(spec: OCPSpec, state: PolicyState, traj_table: jax.Array):
-    """Produce the (N+1, 17) reference window and the advanced PolicyState.
+    """Produce the (N+1, ny) reference window and the advanced PolicyState.
 
     Args:
-      traj_table: (T, 17) precomputed trajectory (rows =
-        [x(13); u(4)], 15 ms grid — the traj/*.txt format). For pure
-        regulation pass a (1, 17) dummy table.
+      traj_table: (T, ny) precomputed trajectory (for the reference layout,
+        rows = [x(13); u(4)] on the 15 ms grid — the traj/*.txt format).
+        For pure regulation pass a (1, ny) dummy table.
+
+    Layout dispatch (static, at trace time): a (3,) setpoint selects the
+    reference's quadrotor row construction (position + identity attitude +
+    hover input); a full (ny,) setpoint is used verbatim, which is how
+    custom-model specs (OCPSpec.f) run the same policy machine.
 
     Returns (yref (N, ny), yref_e (nx,), new_state).
     """
     n_steps = traj_table.shape[0]
-    uss = spec.params.hover_speed().astype(traj_table.dtype)
+    ny = spec.cost.W.shape[0]
+    nx = spec.cost.Vx_e.shape[1]
+    dtype = traj_table.dtype
+    uss = spec.steady_input(dtype)
+    quad_layout = (ny == NY and nx == NX)
 
     # Tracking window: rows playhead..playhead+N, clamped gather so reading
     # past the end repeats the final row (only reachable transiently).
     idx = jnp.clip(state.playhead + jnp.arange(spec.N + 1), 0, n_steps - 1)
     window = traj_table[idx]
 
-    reg = _constant_yref(spec, state.setpoint.astype(traj_table.dtype), uss)
-    hold_pos = traj_table[n_steps - 1, 0:3]
-    hold = _constant_yref(spec, hold_pos, uss)
+    sp = state.setpoint.astype(dtype)
+    if sp.shape[-1] == ny:
+        reg_row = sp
+    elif quad_layout:
+        reg_row = _quad_row(sp, uss, dtype)
+    else:
+        raise ValueError(
+            f"PolicyState.setpoint must be a full (ny={ny},) reference row "
+            f"for non-reference cost layouts (got shape {sp.shape})")
+    reg = jnp.broadcast_to(reg_row, (spec.N + 1, ny))
+    if quad_layout:
+        # reference Position_Hold: last row's position, identity attitude,
+        # hover input (acados_mpc.cpp:490-514)
+        hold_row = _quad_row(traj_table[n_steps - 1, 0:3], uss, dtype)
+    else:
+        # generic hold: the last table row with steady inputs
+        hold_row = traj_table[n_steps - 1].at[nx:].set(uss)
+    hold = jnp.broadcast_to(hold_row, (spec.N + 1, ny))
 
     yref_full = jax.lax.switch(
         state.mode,
@@ -99,4 +125,4 @@ def make_yref(spec: OCPSpec, state: PolicyState, traj_table: jax.Array):
 
     new_state = PolicyState(mode=new_mode, playhead=new_playhead,
                             setpoint=state.setpoint)
-    return yref_full[:-1], yref_full[-1, :NX], new_state
+    return yref_full[:-1], yref_full[-1, :nx], new_state

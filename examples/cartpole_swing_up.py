@@ -58,7 +58,6 @@ def main():
         st, x, u0 = tick(st, x)
         if k % 20 == 0:
             p, th = float(x[0]), float(x[1])
-            bar = int((th % (2 * np.pi)) / (2 * np.pi) * 40)
             print(f"t={k * float(spec.dt):5.2f}s  p={p:+7.3f} m  "
                   f"theta={th:+7.3f} rad  F={float(u0[0]):+7.2f} N")
     xf = np.asarray(x)

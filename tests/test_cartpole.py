@@ -130,3 +130,21 @@ def test_batched_fast_path_rejects_custom_model():
                          jax.tree.map(lambda z: z[None], st),
                          downward_state(jnp.float64)[None],
                          yref, yref_e)
+
+
+def test_closed_loop_runtime_with_custom_model():
+    """runtime.simulate + the policy machine on a custom-model spec: a
+    full (ny,) setpoint row drives regulation generically (with actuation
+    delay compensation in the loop, delay_steps=2)."""
+    from crazyflie_nmpc_tpu.runtime.closed_loop import LoopConfig, simulate
+    from crazyflie_nmpc_tpu.solver import policies
+
+    spec = cartpole_ocp()
+    pol = policies.regulation_state(jnp.zeros((5,), jnp.float64))
+    table = jnp.zeros((1, 5), jnp.float64)
+    x0 = jnp.array([0.2, 0.1, 0.0, 0.0], jnp.float64)
+    res = simulate(spec, x0, pol, table, steps=200,
+                   config=LoopConfig(delay_steps=2,
+                                     ipm=IPMConfig(iters=10)))
+    assert np.linalg.norm(np.asarray(res.x[-1])) < 1e-7
+    assert np.all(np.isfinite(np.asarray(res.kkt_res)))
