@@ -52,6 +52,13 @@ class LoopConfig:
     # SURVEY.md §5 failure detection)
     guard_failures: bool = dataclasses.field(default=True,
                                              metadata=dict(static=True))
+    # rematerialize each tick under reverse-mode AD (jax.checkpoint):
+    # differentiating through a T-tick flight (runtime.tuning) stores O(T)
+    # solver activations; remat stores only the per-tick carry and recomputes
+    # the tick in the backward pass — the standard memory/FLOPs trade for
+    # long-horizon gradients.  No effect on forward-only simulation cost.
+    remat: bool = dataclasses.field(default=False,
+                                    metadata=dict(static=True))
     ipm: ipm.IPMConfig = dataclasses.field(default_factory=ipm.IPMConfig)
 
 
@@ -137,8 +144,9 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
         return carry, outs
 
     carry0 = (x_init, rti0, policy_state, u_pipe0, uss)
+    tick_fn = jax.checkpoint(tick) if config.remat else tick
     _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
-        tick, carry0, None, length=steps)
+        tick_fn, carry0, None, length=steps)
     return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
                       policy_mode=modes)
 

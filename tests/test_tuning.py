@@ -67,3 +67,24 @@ def test_tune_diagonal_cost_improves_hover():
     # tuned position weights moved up from the de-tuned start
     assert float(res.w_diag[0]) > 1.2
     assert np.all(np.asarray(res.w_diag) > 0)  # log-space: positive
+
+
+def test_remat_gradients_match():
+    """LoopConfig(remat=True) recomputes ticks in the backward pass; the
+    gradient must match the stored-activations gradient exactly while
+    enabling long-horizon tuning memory."""
+    spec = _detuned_spec()
+    x0 = hover_state(spec.params, dtype=jnp.float64).at[0].set(0.4)
+    obj = tuning.hover_objective()
+
+    def loss(logw, remat):
+        s = tuning.spec_with_diag_cost(
+            spec, jnp.exp(logw), jnp.diagonal(spec.cost.W_e))
+        cfg = LoopConfig(ipm=IPMConfig(iters=4), remat=remat)
+        return obj(hover_regulation(s, x0, steps=12, config=cfg))
+
+    logw = jnp.log(jnp.diagonal(spec.cost.W))
+    g_plain = jax.grad(lambda t: loss(t, False))(logw)
+    g_remat = jax.grad(lambda t: loss(t, True))(logw)
+    np.testing.assert_allclose(np.asarray(g_remat), np.asarray(g_plain),
+                               rtol=1e-9, atol=1e-12)
