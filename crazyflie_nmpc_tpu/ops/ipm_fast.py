@@ -62,6 +62,47 @@ def _max_step_lane(v, dv, tau):
     return jnp.minimum(1.0, tau * jnp.min(ratio, axis=(0, 1)))
 
 
+def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int):
+    """Clamp stages_per_step so the fused condensed kernels fit scoped VMEM
+    (~16 MB on v5e); raise past the horizon envelope.
+
+    The c2 sweeps park the whole-horizon gains in VMEM scratch
+    (K_all (M,8,13,bb) + kff_all (M,8,bb), condensed_kernels.py), so the
+    footprint has an M-term independent of the stage blocking:
+
+        bytes ~ 4*bb*(WINDOW*ms + GAIN*M)
+
+    WINDOW ~ 2400 padded floats per stage-pair of double-buffered grid
+    window (in+out blocks, 13->16 sublane padding), GAIN ~ 150 padded
+    floats per stage-pair of gain scratch.  Constants are calibrated
+    against measured points on a v5e (N=200/ms=10/bb=128 OOMs at 16.45M;
+    N=200/ms=4 runs at 20.9 ms; N=200/ms=5 ~ 13.8M compiles but hits a 3x
+    Mosaic spill cliff), hence the conservative 12.5 MB budget.  Only ms
+    shrinks — the Pallas TPU lowering needs the lane (batch) block >= 128,
+    so bb is not a lever — and it shrinks along divisors of M (the kernels
+    round non-divisors down anyway).  Beyond the envelope (M too large for
+    ms=1) the fused path cannot run: callers should drop to condense=1 /
+    ops.ipm or shard the horizon (parallel.stage_sharded_rti_step).
+    """
+    WINDOW, GAIN = 2400, 150
+    BUDGET = int(12.7 * 1024 * 1024)  # admits N=200/ms=4, rejects ms=5
+
+    def fits(ms):
+        return 4 * block_b * (WINDOW * ms + GAIN * M) <= BUDGET
+
+    ms = max(1, stages_per_step)
+    while ms > 1 and (M % ms != 0 or not fits(ms)):
+        ms -= 1
+    if not fits(ms):
+        raise ValueError(
+            f"horizon too long for the fused condensed kernel: the O(M) "
+            f"gain scratch (M={M} condensed stages, block_b={block_b}) "
+            f"exceeds the VMEM envelope even at one stage per grid step. "
+            f"Use condense=1, ops.ipm, or shard the horizon "
+            f"(parallel.stage_sharded_rti_step).")
+    return ms, block_b
+
+
 def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
                   block_b: int = 128, stages_per_step: int = 1,
                   interpret: bool = False,
@@ -115,8 +156,14 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
         Abar, Bbar = cnd["Abar"], cnd["Bbar"]
         Qbar, S1T, R00 = cnd["Qbar"], cnd["S1T"], cnd["R00"]
         # the condensed horizon is half as long; keep roughly the same
-        # stage-block footprint per grid step
-        kern["stages_per_step"] = max(1, stages_per_step // 2)
+        # stage-block footprint per grid step, then clamp (ms, block_b) to
+        # the VMEM envelope — the fused sweeps carry O(M) gain scratch, so
+        # long horizons need smaller stage/batch blocks (N=200 runs at
+        # ~5.2 ms per-50-stages with the clamp; unclamped it VMEM-OOMs)
+        ms_c2, bb_c2 = _c2_vmem_clamp(M, block_b,
+                                      max(1, stages_per_step // 2))
+        kern["stages_per_step"] = ms_c2
+        kern["block_b"] = bb_c2
     cond2 = condense == 2
 
     finite_l = jnp.isfinite(qp["lb"])
