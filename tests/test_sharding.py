@@ -119,3 +119,32 @@ def test_pod_rti_step_fused_path_matches_local():
     kkt_max, mu_mean = fleet_metrics(mesh)(outs.kkt_res, outs.qp_mu)
     assert float(kkt_max) == pytest.approx(
         float(np.max(np.asarray(outs.kkt_res))), rel=1e-6)
+
+
+def test_stage_sharded_long_horizon_past_fused_envelope():
+    """N=400 is past the fused condensed kernels' VMEM envelope
+    (ipm_fast raises, test_pallas_kernels.py::test_c2_vmem_clamp_envelope);
+    the stage-sharded path is the prescribed fallback and must agree with
+    the plain single-device RTI step at that horizon."""
+    from jax import shard_map
+
+    spec = default_ocp(N=400, tf=6.0, dtype=jnp.float64)
+    mesh = make_mesh(batch=1, stage=4)
+    x0 = hover_state(spec.params, pos=(0.2, -0.1, 0.4))
+    yref, yref_e = hover_yref(spec)
+    state = init_rti(spec, x0)
+
+    fn = shard_map(
+        lambda s, x, yr, ye: stage_sharded_rti_step(
+            spec, mesh, 10, s, x, yr, ye, CFG),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    new_state, out = jax.jit(fn)(state, x0, yref, yref_e)
+    ref_state, _ = jax.jit(
+        lambda s, x: rti_step(spec, s, x, yref, yref_e, CFG))(state, x0)
+    np.testing.assert_allclose(np.asarray(new_state.u_traj),
+                               np.asarray(ref_state.u_traj),
+                               rtol=1e-7, atol=1e-8)
