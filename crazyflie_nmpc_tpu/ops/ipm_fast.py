@@ -19,7 +19,6 @@ in tests/test_pallas_kernels.py.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple
 
 import jax
@@ -77,7 +76,7 @@ def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int):
     floats per stage-pair of gain scratch.  Constants are calibrated
     against measured points on a v5e (N=200/ms=10/bb=128 OOMs at 16.45M;
     N=200/ms=4 runs at 20.9 ms; N=200/ms=5 ~ 13.8M compiles but hits a 3x
-    Mosaic spill cliff), hence the conservative 12.5 MB budget.  Only ms
+    Mosaic spill cliff), hence the conservative 12.7 MB budget.  Only ms
     shrinks — the Pallas TPU lowering needs the lane (batch) block >= 128,
     so bb is not a lever — and it shrinks along divisors of M (the kernels
     round non-divisors down anyway).  Beyond the envelope (M too large for

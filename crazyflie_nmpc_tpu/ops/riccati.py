@@ -22,7 +22,6 @@ A parallel-in-N associative-scan variant lives in `ops/assoc_riccati.py`.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple
 
 import jax

@@ -17,8 +17,6 @@ past single-chip VMEM — the two axes are the same mesh's dimensions
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ payloads are small and every device's MXU works on its own stage block.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

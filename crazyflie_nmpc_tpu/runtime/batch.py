@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from crazyflie_nmpc_tpu.models.quadrotor import NU, NX, dynamics
 from crazyflie_nmpc_tpu.ops import ipm
 from crazyflie_nmpc_tpu.ops.integrators import integrate
-from crazyflie_nmpc_tpu.solver.ocp import OCPSpec, hover_yref
+from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
 from crazyflie_nmpc_tpu.solver.rti import init_rti
 from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
 

@@ -27,7 +27,7 @@ from crazyflie_nmpc_tpu.ops import ipm
 from crazyflie_nmpc_tpu.ops.integrators import integrate
 from crazyflie_nmpc_tpu.solver import policies as policies_mod
 from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
-from crazyflie_nmpc_tpu.solver.rti import RTIState, init_rti, rti_step
+from crazyflie_nmpc_tpu.solver.rti import init_rti, rti_step
 
 
 @jax.tree_util.register_dataclass

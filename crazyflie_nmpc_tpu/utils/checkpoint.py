@@ -10,7 +10,6 @@ a 256-drone swarm checkpoint is one file.
 
 from __future__ import annotations
 
-import json
 
 import numpy as np
 
