@@ -282,6 +282,72 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
                                config.tau),
                 _max_step_lane(jnp.where(finite_u, lam_u, 1.0), dlam_u,
                                config.tau)))
+
+        # ---- Gondzio multiple centrality correctors (see ops.ipm.iterate
+        # for the math and docs/PERF.md for the accuracy/cost trade): one
+        # extra corrector sweep each on the SAME factorization, RHS = pure
+        # complementarity outlier correction, accepted per lane only where
+        # the step lengthens.
+        for _ in range(config.gondzio_correctors):
+            mu_t = sigma * mu                                   # (B,)
+            a_hat = jnp.minimum(alpha + 0.1, 1.0)
+            v_l = (s_l + a_hat * ds_l) * (lam_l + a_hat * dlam_l)
+            v_u = (s_u + a_hat * ds_u) * (lam_u + a_hat * dlam_u)
+            t_l = jnp.where(finite_l,
+                            jnp.clip(v_l, 0.1 * mu_t, 10.0 * mu_t) - v_l,
+                            0.0)
+            t_u = jnp.where(finite_u,
+                            jnp.clip(v_u, 0.1 * mu_t, 10.0 * mu_t) - v_u,
+                            0.0)
+            rt1u_g = (jnp.where(finite_l, -t_l / s_l, 0.0)
+                      + jnp.where(finite_u, t_u / s_u, 0.0))
+            z_c = jnp.zeros_like(r2[1:])
+            z_qx = jnp.zeros_like(r1x[:-1])
+            z_pt = jnp.zeros_like(r1x[-1])
+            z_dx0 = jnp.zeros_like(r2[0])
+            # the stored Pc = P_{k+1} c_k bakes the ORIGINAL dynamics
+            # residual into the backward vector pass; the pure
+            # complementarity solve has zero dynamics residual, so Pc
+            # must be zeroed here (K and L stay — they are factorization
+            # state, independent of the RHS)
+            z_Pc = jnp.zeros_like(Pc)
+            if cond2:
+                ddx_g, ddu_g = ck.corrector_sweep_c2(
+                    Abar, Bbar, z_c, z_qx, rt1u_g, K, L, z_Pc, z_pt,
+                    z_dx0, **kern)
+            elif fused:
+                ddx_g, ddu_g = rk.corrector_sweep(
+                    A, Bm, z_c, z_qx, rt1u_g, K, L, z_Pc, z_pt, z_dx0,
+                    **kern)
+            else:
+                kff_g = rk.backward_vector_sweep(
+                    A, Bm, z_qx, rt1u_g, K, L, z_Pc, z_pt, **kern)
+                ddx_g, ddu_g = rk.forward_sweep(A, Bm, z_c, K, kff_g,
+                                                z_dx0, **kern)
+            ds_l_g = jnp.where(finite_l, ddu_g, 0.0)
+            ds_u_g = jnp.where(finite_u, -ddu_g, 0.0)
+            dlam_l_g = jnp.where(finite_l, (t_l - lam_l * ds_l_g) / s_l,
+                                 0.0)
+            dlam_u_g = jnp.where(finite_u, (t_u - lam_u * ds_u_g) / s_u,
+                                 0.0)
+            ds_l2, ds_u2 = ds_l + ds_l_g, ds_u + ds_u_g
+            dlam_l2, dlam_u2 = dlam_l + dlam_l_g, dlam_u + dlam_u_g
+            alpha2 = jnp.minimum(
+                jnp.minimum(_max_step_lane(one_l, ds_l2, config.tau),
+                            _max_step_lane(one_u, ds_u2, config.tau)),
+                jnp.minimum(
+                    _max_step_lane(jnp.where(finite_l, lam_l, 1.0),
+                                   dlam_l2, config.tau),
+                    _max_step_lane(jnp.where(finite_u, lam_u, 1.0),
+                                   dlam_u2, config.tau)))
+            keep = alpha2 > alpha                                # (B,)
+            pick = lambda new, old: jnp.where(keep, new, old)
+            ddx = pick(ddx + ddx_g, ddx)
+            ddu = pick(ddu + ddu_g, ddu)
+            ds_l, ds_u = pick(ds_l2, ds_l), pick(ds_u2, ds_u)
+            dlam_l, dlam_u = pick(dlam_l2, dlam_l), pick(dlam_u2, dlam_u)
+            alpha = jnp.maximum(alpha, alpha2)
+
         alpha = jnp.where(has_ineq & (mu <= mu_floor), 0.0, alpha)
 
         z_dx = z_dx + alpha * ddx

@@ -449,3 +449,39 @@ def test_c2_vmem_clamp_envelope():
     # past the envelope: explicit error pointing at the fallbacks
     with pytest.raises(ValueError, match="stage_sharded|condense=1"):
         _c2_vmem_clamp(200, 128, 12)
+
+
+def test_ipm_fast_gondzio_matches_ipm():
+    """Gondzio centrality correctors: fused batched path == reference path
+    (bounded problems, correctors accepted per lane)."""
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    qps = []
+    for k in keys:
+        diag, dense = random_diag_lq(k)
+        lq = dict(A=dense["A"], B=dense["B"], c=dense["c"],
+                  Qxx=dense["Qxx"], qx=dense["qx"], Ruu=dense["Ruu"],
+                  ru=dense["ru"], S=dense["S"], P_term=dense["P_term"],
+                  p_term=dense["p_term"], dx0=dense["dx0"])
+        _, du_ref = riccati.solve_lq(**lq)
+        lim = 0.5 * float(jnp.max(jnp.abs(du_ref)))
+        qps.append(QPData(A=lq["A"], B=lq["B"], c=lq["c"], Qxx=lq["Qxx"],
+                          qx=lq["qx"], Ruu=lq["Ruu"], ru=lq["ru"],
+                          S=lq["S"], P=lq["P_term"], p=lq["p_term"],
+                          lb=jnp.full((N, NUD), -lim),
+                          ub=jnp.full((N, NUD), lim), dx0=lq["dx0"]))
+    batched = jax.tree.map(
+        lambda *xs: jnp.stack(xs).astype(jnp.float32), *qps)
+
+    cfg = ipm.IPMConfig(iters=5, gondzio_correctors=2)
+    ref = jax.vmap(lambda q: ipm.solve(q, cfg))(batched)
+    for condense in (1, 2):
+        fast = ipm_fast.solve_batched(ipm_fast.from_qpdata(batched), cfg,
+                                      condense=condense, **KERN)
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(fast.du, -1, 0)), np.asarray(ref.du),
+            rtol=5e-3, atol=5e-4, err_msg=f"condense={condense}")
+    # and the correctors actually tighten centrality vs plain Mehrotra
+    plain = jax.vmap(lambda q: ipm.solve(
+        q, ipm.IPMConfig(iters=5)))(batched)
+    assert float(jnp.median(ref.stats["mu"])) < float(
+        jnp.median(plain.stats["mu"]))
