@@ -99,7 +99,7 @@ def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int):
             f"exceeds the VMEM envelope even at one stage per grid step. "
             f"Use condense=1, ops.ipm, or shard the horizon "
             f"(parallel.stage_sharded_rti_step).")
-    return ms, block_b
+    return ms
 
 
 def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
@@ -135,6 +135,14 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
         if not fused:
             raise ValueError("condense=2 requires the fused kernel path")
         M = N // 2
+        # clamp the c2 sweeps' stage blocking to the VMEM envelope BEFORE
+        # any condensing work runs (the check needs only static shapes).
+        # Interpret mode has no scoped-VMEM limit — honor the request.
+        if interpret:
+            ms_c2 = max(1, stages_per_step // 2)
+        else:
+            ms_c2 = _c2_vmem_clamp(M, block_b,
+                                   max(1, stages_per_step // 2))
         cnd = ck.condense2(A, Bm, c, qxx, qx, ru, block_b=block_b,
                            interpret=interpret)
         # bounds / slacks / duals are per ORIGINAL input; stage-major
@@ -154,15 +162,12 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
         ruu = ruu_c
         Abar, Bbar = cnd["Abar"], cnd["Bbar"]
         Qbar, S1T, R00 = cnd["Qbar"], cnd["S1T"], cnd["R00"]
-        # the condensed horizon is half as long; keep roughly the same
-        # stage-block footprint per grid step, then clamp (ms, block_b) to
-        # the VMEM envelope — the fused sweeps carry O(M) gain scratch, so
-        # long horizons need smaller stage/batch blocks (N=200 runs at
-        # ~5.2 ms per-50-stages with the clamp; unclamped it VMEM-OOMs)
-        ms_c2, bb_c2 = _c2_vmem_clamp(M, block_b,
-                                      max(1, stages_per_step // 2))
+        # the condensed horizon is half as long: the clamp above keeps
+        # roughly the same stage-block footprint per grid step within the
+        # VMEM envelope — the fused sweeps carry O(M) gain scratch, so
+        # long horizons need smaller stage blocks (N=200 runs at ~5.2 ms
+        # per-50-stages with the clamp; unclamped it VMEM-OOMs)
         kern["stages_per_step"] = ms_c2
-        kern["block_b"] = bb_c2
     cond2 = condense == 2
 
     finite_l = jnp.isfinite(qp["lb"])

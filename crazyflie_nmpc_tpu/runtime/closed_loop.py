@@ -163,6 +163,14 @@ def hover_regulation(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
 def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
                         config: LoopConfig = LoopConfig()):
     """BASELINE config 2: precomputed-trajectory tracking (helix etc.)."""
-    pol = policies_mod.tracking_state()
+    ny = spec.cost.W.shape[0]
+    nx = spec.cost.Vx_e.shape[1]
+    if traj_table.shape[-1] == ny and not (ny == 17 and nx == 13):
+        # custom-model spec: the regulation setpoint is unused in TRACKING
+        # mode but must have the full (ny,) layout to trace (policies.py)
+        pol = policies_mod.tracking_state(
+            setpoint=jnp.zeros((ny,), x_init.dtype))
+    else:
+        pol = policies_mod.tracking_state()
     steps = steps or traj_table.shape[0]
     return simulate(spec, x_init, pol, traj_table, steps, config)

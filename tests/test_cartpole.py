@@ -148,3 +148,23 @@ def test_closed_loop_runtime_with_custom_model():
                                      ipm=IPMConfig(iters=10)))
     assert np.linalg.norm(np.asarray(res.x[-1])) < 1e-7
     assert np.all(np.isfinite(np.asarray(res.kkt_res)))
+
+
+def test_trajectory_tracking_runtime_with_custom_model():
+    """runtime.trajectory_tracking composes with a custom-model spec: the
+    tracking table is the swing-up plan itself, replayed closed-loop."""
+    from crazyflie_nmpc_tpu.runtime.closed_loop import (
+        LoopConfig,
+        trajectory_tracking,
+    )
+
+    spec = cartpole_ocp(N=20, tf=1.0)
+    # table: hold upright (states already there) — 40 rows of zeros
+    table = jnp.zeros((40, 5), jnp.float64)
+    x0 = jnp.array([0.05, 0.02, 0.0, 0.0], jnp.float64)
+    res = trajectory_tracking(spec, x0, table,
+                              config=LoopConfig(ipm=IPMConfig(iters=8)))
+    # 40 ticks (0.6 s of tracking + hold latch): the perturbation decays
+    assert (np.linalg.norm(np.asarray(res.x[-1]))
+            < 0.2 * np.linalg.norm(np.asarray(x0)))
+    assert np.all(np.isfinite(np.asarray(res.kkt_res)))

@@ -437,15 +437,14 @@ def test_c2_vmem_clamp_envelope():
 
     # reference problem (N=50): the request is honored at the measured
     # sweet spot and the default stays untouched
-    assert _c2_vmem_clamp(25, 128, 12) == (5, 128)
-    assert _c2_vmem_clamp(25, 128, 1) == (1, 128)
+    assert _c2_vmem_clamp(25, 128, 12) == 5
+    assert _c2_vmem_clamp(25, 128, 1) == 1
     # N=200: ms=4 runs (20.9 ms measured); ms=5 compiles into a 3x Mosaic
     # spill cliff and must be rejected
-    assert _c2_vmem_clamp(100, 128, 12)[0] <= 4
+    assert _c2_vmem_clamp(100, 128, 12) <= 4
     # ms always divides M (the kernels round down otherwise)
     for M in (25, 50, 100, 128):
-        ms, _ = _c2_vmem_clamp(M, 128, 12)
-        assert M % ms == 0
+        assert M % _c2_vmem_clamp(M, 128, 12) == 0
     # past the envelope: explicit error pointing at the fallbacks
     with pytest.raises(ValueError, match="stage_sharded|condense=1"):
         _c2_vmem_clamp(200, 128, 12)
