@@ -387,10 +387,10 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
         # dynamics row; recover them once (not per iteration)
         du_pairs = z_du                                  # (M, 8, B)
         dx_even = z_dx[:-1]                              # (M, 13, B)
-        dx_odd = (jnp.einsum("kijb,kjb->kib", A_orig[0::2], dx_even)
-                  + jnp.einsum("kijb,kjb->kib", B_orig[0::2],
-                               du_pairs[:, :nu_orig])
-                  + c_orig[0::2])
+        dx_odd = ck.expand2(A_orig, B_orig, c_orig, dx_even,
+                            du_pairs[:, :nu_orig], block_b=block_b,
+                            stages_per_step=kern["stages_per_step"],
+                            interpret=interpret)
         dx_full = jnp.concatenate([
             jnp.stack([dx_even, dx_odd], axis=1).reshape(
                 N_orig, dx_even.shape[1], B),
