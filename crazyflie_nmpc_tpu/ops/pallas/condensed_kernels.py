@@ -269,7 +269,7 @@ def expand2(A, B, c, dx_even, du0, block_b: int = 128,
 
 def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
                    qx_ref, ruu_ref, ru_ref, Pt_ref, pt_ref, dx0_ref,
-                   K_out, kff_out, L_out, Pc_out, dx_out, du_out,
+                   K_out, kff_out, L_out, Pc_out, dx_out, du_out, dxT_out,
                    P_scr, p_scr, K_all, kff_all, dx_scr):
     n = pl.program_id(1)
 
@@ -346,6 +346,10 @@ def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
             dx_out[j] = dx
             du_out[j] = du
             dx_scr[:] = dx_next
+        # the final grid step leaves the TERMINAL state here (last write
+        # wins) — emitting it from the kernel removes an XLA per-lane
+        # matvec + concat tail per launch
+        dxT_out[:] = dx_scr[:]
 
 
 def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
@@ -390,9 +394,10 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         jax.ShapeDtypeStruct((M, NX, Btot), dtype),
         jax.ShapeDtypeStruct((M, NX, Btot), dtype),
         jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
+        jax.ShapeDtypeStruct((NX, Btot), dtype),
     )
     out_specs = (bwd((NUC, NX)), bwd((NUC,)), bwd((NLC,)), bwd((NX,)),
-                 fwd((NX,)), fwd((NUC,)))
+                 fwd((NX,)), fwd((NUC,)), spec_const((NX,)))
     in_specs = [
         both((NX, NX)), both((NX, NUC)), both((NX,)),
         bwd((NX, NX)), bwd((NU, NX)), bwd((NU, NU)),
@@ -406,7 +411,7 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         pltpu.VMEM((M, NUC, block_b), dtype),
         pltpu.VMEM((NX, block_b), dtype),
     ]
-    K, kff, L, Pc, dxs, dus = pl.pallas_call(
+    K, kff, L, Pc, dxs, dus, dxT = pl.pallas_call(
         _ft.partial(_kkt_c2_kernel, ms, ngrid),
         grid=(nb, 2 * ngrid),
         in_specs=in_specs,
@@ -416,9 +421,7 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         interpret=interpret,
     )(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
       pT_dense_diag, p_term, dx0)
-    dx_last = (jnp.einsum("ijb,jb->ib", Abar[-1], dxs[-1])
-               + jnp.einsum("ijb,jb->ib", Bbar[-1], dus[-1]) + cbar[-1])
-    dx_all = jnp.concatenate([dxs, dx_last[None]], axis=0)
+    dx_all = jnp.concatenate([dxs, dxT[None]], axis=0)
     return K, kff, L, Pc, dx_all, dus
 
 
@@ -428,7 +431,7 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
 
 def _corr_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, qx_ref, ru_ref,
                     K_ref, L_ref, Pc_ref, pt_ref, dx0_ref,
-                    dx_out, du_out, p_scr, kff_all, dx_scr):
+                    dx_out, du_out, dxT_out, p_scr, kff_all, dx_scr):
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -466,6 +469,8 @@ def _corr_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, qx_ref, ru_ref,
             dx_out[j] = dx
             du_out[j] = du
             dx_scr[:] = dx_next
+        # terminal state (last grid step's write wins) — see _kkt_c2_kernel
+        dxT_out[:] = dx_scr[:]
 
 
 def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
@@ -500,21 +505,20 @@ def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
             return (0,) * len(sp) + (b,)
         return pl.BlockSpec(sp + (block_b,), idx, memory_space=pltpu.VMEM)
 
-    dxs, dus = pl.pallas_call(
+    dxs, dus, dxT = pl.pallas_call(
         _ft.partial(_corr_c2_kernel, ms, ngrid),
         grid=(nb, 2 * ngrid),
         in_specs=[both((NX, NX)), both((NX, NUC)), fwd((NX,)),
                   bwd((NX,)), bwd((NUC,)), both((NUC, NX)), bwd((NLC,)),
                   bwd((NX,)), spec_const((NX,)), spec_const((NX,))],
-        out_specs=(fwd((NX,)), fwd((NUC,))),
+        out_specs=(fwd((NX,)), fwd((NUC,)), spec_const((NX,))),
         out_shape=(jax.ShapeDtypeStruct((M, NX, Btot), dtype),
-                   jax.ShapeDtypeStruct((M, NUC, Btot), dtype)),
+                   jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
+                   jax.ShapeDtypeStruct((NX, Btot), dtype)),
         scratch_shapes=[pltpu.VMEM((NX, block_b), dtype),
                         pltpu.VMEM((M, NUC, block_b), dtype),
                         pltpu.VMEM((NX, block_b), dtype)],
         interpret=interpret,
     )(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0)
-    dx_last = (jnp.einsum("ijb,jb->ib", Abar[-1], dxs[-1])
-               + jnp.einsum("ijb,jb->ib", Bbar[-1], dus[-1]) + cbar[-1])
-    dx_all = jnp.concatenate([dxs, dx_last[None]], axis=0)
+    dx_all = jnp.concatenate([dxs, dxT[None]], axis=0)
     return dx_all, dus
