@@ -6,6 +6,7 @@ from crazyflie_nmpc_tpu.runtime.bag import (  # noqa: F401
 from crazyflie_nmpc_tpu.runtime.closed_loop import (  # noqa: F401
     LoopConfig,
     LoopResult,
+    estimator_in_the_loop,
     hover_regulation,
     simulate,
     trajectory_tracking,

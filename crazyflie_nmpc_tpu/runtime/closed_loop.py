@@ -174,3 +174,105 @@ def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
         pol = policies_mod.tracking_state()
     steps = steps or traj_table.shape[0]
     return simulate(spec, x_init, pol, traj_table, steps, config)
+
+
+def estimator_in_the_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
+                          steps: int = 660, delay_steps: int = 4,
+                          config: LoopConfig = LoopConfig()):
+    """Full-fidelity closed loop: the NMPC sees only what the reference's
+    estimator would give it (SURVEY §7 step 6's measurement-synthesis
+    configuration).
+
+    Per tick, the true plant state is reduced to raw sensor channels —
+    mocap position, stabilizer Euler attitude, gyro rates (the quantities
+    on the reference's wire, acados_estimator.cpp:452-513) — then the full
+    estimator chain reassembles the 13-state: quaternion from Euler,
+    5-sample IIR-LPF position differentiation for world velocity (with the
+    reference filter's 0.7686 DC gain), body-frame rotation, and the
+    delay predictor integrating `delay_steps` ahead under the last
+    commanded rotor speeds.  The NMPC solves from that estimate while the
+    actual command reaches the plant through a delay_steps-tick actuation
+    pipe — exactly the reference's acados_predictor.launch loop, in pure
+    software.
+
+    Quadrotor-only (the estimator layer is the reference's sensor
+    pipeline).  Returns LoopResult with x = TRUE plant states.
+    """
+    from crazyflie_nmpc_tpu.estimator.pipeline import (
+        fuse,
+        init_estimator,
+        notify_command,
+    )
+    from crazyflie_nmpc_tpu.models import rotations
+
+    f = spec.ode()
+    uss = spec.steady_input(x_init.dtype)
+    d = max(delay_steps, 1)
+
+    pol0 = policies_mod.regulation_state(setpoint)
+    ny = spec.cost.W.shape[0]
+    table = jnp.zeros((1, ny), x_init.dtype)
+    rti0 = init_rti(spec, x_init)
+    est0 = init_estimator(spec.params, x_init[:3])
+    u_pipe0 = jnp.broadcast_to(uss, (d,) + uss.shape)
+
+    def tick(carry, _):
+        x_plant, rti_state, est, pol_state, u_pipe, u_prev = carry
+
+        yref, yref_e, pol_next = policies_mod.make_yref(spec, pol_state,
+                                                        table)
+
+        # raw sensor channels from the true state (the mocap/stabilizer/
+        # gyro wire quantities), then the full estimator fusion chain
+        est, x_fused = fuse(
+            est, x_plant[:3], rotations.quat_to_euler(x_plant[3:7]),
+            x_plant[10:], spec.dt)
+
+        # delay compensation: predict under the commands actually in
+        # flight (the actuation pipe), stage by stage.  The reference's
+        # single-last-command predictor (estimator.pipeline.predict,
+        # acados_estimator.cpp:573-593) assumes the latest published
+        # command is already acting; against this raw rotor-speed plant
+        # that assumption is destabilizing at 60 ms (measured: diverges),
+        # because the real vehicle's onboard attitude loop — absent here —
+        # is what absorbs the mismatch.
+        def body(xc, u_k):
+            return integrate(f, spec.params, xc, u_k, spec.dt,
+                             spec.sim_steps), None
+        if delay_steps > 0:
+            x_hat, _ = jax.lax.scan(body, x_fused, u_pipe)
+        else:
+            x_hat = x_fused
+
+        rti_new, out = rti_step(spec, rti_state, x_hat, yref, yref_e,
+                                config.ipm)
+        u_cmd = out.u0
+        if config.guard_failures:
+            ok = jnp.all(jnp.isfinite(out.u_plan)) & jnp.all(
+                jnp.isfinite(out.x_plan))
+            u_cmd = jnp.where(ok, u_cmd, u_prev)
+            rti_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), rti_new,
+                rti_state)
+        else:
+            rti_state = rti_new
+        est = notify_command(est, u_cmd)
+
+        if delay_steps > 0:
+            u_apply = u_pipe[0]
+            u_pipe = jnp.concatenate([u_pipe[1:], u_cmd[None]], axis=0)
+        else:
+            u_apply = u_cmd
+        x_next = integrate(f, spec.params, x_plant, u_apply, spec.dt,
+                           config.plant_substeps)
+
+        carry = (x_next, rti_state, est, pol_next, u_pipe, u_cmd)
+        outs = (x_plant, u_apply, u_cmd, out.kkt_res, pol_state.mode)
+        return carry, outs
+
+    carry0 = (x_init, rti0, est0, pol0, u_pipe0, uss)
+    tick_fn = jax.checkpoint(tick) if config.remat else tick
+    _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
+        tick_fn, carry0, None, length=steps)
+    return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
+                      policy_mode=modes)

@@ -122,3 +122,22 @@ def test_monte_carlo_batch_vmap():
     assert res.x.shape == (B, 300, NX)
     final = np.asarray(res.x[:, -1, :3])
     assert np.abs(final - np.array([0.0, 0.0, 0.5])).max() < 5e-3
+
+
+def test_estimator_in_the_loop_full_fidelity():
+    """SURVEY §7 step 6 full-fidelity configuration: the NMPC sees only
+    the estimator's reconstruction (Euler-roundtripped attitude, IIR-LPF
+    velocity with the reference filter's 0.7686 DC gain) and commands act
+    through a 60 ms (4-tick) pipe — hover still converges exactly."""
+    from crazyflie_nmpc_tpu.runtime import estimator_in_the_loop
+
+    spec = default_ocp(dtype=jnp.float64)
+    x0 = hover_state(spec.params, dtype=jnp.float64
+                     ).at[0].set(0.3).at[2].set(0.5)
+    res = estimator_in_the_loop(spec, x0, steps=450, delay_steps=4,
+                                config=LoopConfig(ipm=ipm.IPMConfig(iters=8)))
+    err = np.linalg.norm(np.asarray(res.x[-1][:3]) - np.array([0, 0, 0.5]))
+    assert err < 1e-6, err
+    assert np.all(np.isfinite(np.asarray(res.u)))
+    # the flight stayed sane (no excursion beyond the start/setpoint box)
+    assert np.abs(np.asarray(res.x[:, :3])).max() < 0.6
