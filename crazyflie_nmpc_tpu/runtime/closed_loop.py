@@ -178,7 +178,8 @@ def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
 
 def estimator_in_the_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
                           steps: int = 660, delay_steps: int = 4,
-                          config: LoopConfig = LoopConfig()):
+                          config: LoopConfig = LoopConfig(),
+                          policy_state=None, traj_table=None):
     """Full-fidelity closed loop: the NMPC sees only what the reference's
     estimator would give it (SURVEY §7 step 6's measurement-synthesis
     configuration).
@@ -209,9 +210,12 @@ def estimator_in_the_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
     uss = spec.steady_input(x_init.dtype)
     d = max(delay_steps, 1)
 
-    pol0 = policies_mod.regulation_state(setpoint)
     ny = spec.cost.W.shape[0]
-    table = jnp.zeros((1, ny), x_init.dtype)
+    pol0 = (policy_state if policy_state is not None
+            else policies_mod.regulation_state(setpoint))
+    table = (jnp.asarray(traj_table, x_init.dtype)
+             if traj_table is not None
+             else jnp.zeros((1, ny), x_init.dtype))
     rti0 = init_rti(spec, x_init)
     est0 = init_estimator(spec.params, x_init[:3])
     u_pipe0 = jnp.broadcast_to(uss, (d,) + uss.shape)
