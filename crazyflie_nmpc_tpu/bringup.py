@@ -48,8 +48,8 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
     import jax.numpy as jnp
 
     from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
-    from crazyflie_nmpc_tpu.runtime import LoopConfig, trajectory_tracking
-    from crazyflie_nmpc_tpu.solver import default_ocp
+    from crazyflie_nmpc_tpu.runtime import LoopConfig, estimator_in_the_loop
+    from crazyflie_nmpc_tpu.solver import default_ocp, policies
     from crazyflie_nmpc_tpu.utils import (
         helix_trajectory,
         smooth_step_trajectory,
@@ -60,10 +60,15 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
     table = (helix_trajectory(spec.params) if traj == "helix"
              else smooth_step_trajectory(spec.params)).astype(dtype)
     delay_steps = int(round(delay / float(spec.dt)))
-    cfg = LoopConfig(delay_steps=delay_steps, ipm=IPMConfig(iters=8))
+    cfg = LoopConfig(ipm=IPMConfig(iters=8))
     steps = min(steps, table.shape[0] - 1)
-    res = trajectory_tracking(spec, jnp.asarray(table[0, :13]), table,
-                              steps=steps, config=cfg)
+    # full-fidelity: the estimator node's reconstruction (LPF velocities,
+    # Euler roundtrip) feeds the NMPC, commands ride the delay pipe —
+    # exactly what acados_predictor.launch composes
+    res = estimator_in_the_loop(
+        spec, jnp.asarray(table[0, :13]), steps=steps,
+        delay_steps=delay_steps, config=cfg,
+        policy_state=policies.tracking_state(), traj_table=table)
     track = np.asarray(res.policy_mode) == 1
     err = np.abs(np.asarray(res.x)[track, :3]
                  - np.asarray(table)[:int(track.sum()), :3])
