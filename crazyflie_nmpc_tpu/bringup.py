@@ -48,7 +48,11 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
     import jax.numpy as jnp
 
     from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
-    from crazyflie_nmpc_tpu.runtime import LoopConfig, estimator_in_the_loop
+    from crazyflie_nmpc_tpu.runtime import (
+        LoopConfig,
+        estimator_in_the_loop,
+        tracking_error,
+    )
     from crazyflie_nmpc_tpu.solver import default_ocp, policies
     from crazyflie_nmpc_tpu.utils import (
         helix_trajectory,
@@ -69,9 +73,7 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
         spec, jnp.asarray(table[0, :13]), steps=steps,
         delay_steps=delay_steps, config=cfg,
         policy_state=policies.tracking_state(), traj_table=table)
-    track = np.asarray(res.policy_mode) == 1
-    err = np.abs(np.asarray(res.x)[track, :3]
-                 - np.asarray(table)[:int(track.sum()), :3])
+    err = tracking_error(res, table)
     return {"result": res, "tracking_err_max": float(err.max()),
             "kkt_max": float(np.max(np.asarray(res.kkt_res))),
             "delay_steps": delay_steps}

@@ -7,8 +7,10 @@ from crazyflie_nmpc_tpu.runtime.closed_loop import (  # noqa: F401
     LoopConfig,
     LoopResult,
     estimator_in_the_loop,
+    estimator_measurement,
     hover_regulation,
     simulate,
+    tracking_error,
     trajectory_tracking,
 )
 from crazyflie_nmpc_tpu.runtime.tuning import (  # noqa: F401

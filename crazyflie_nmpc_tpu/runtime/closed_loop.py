@@ -73,7 +73,8 @@ class LoopResult(NamedTuple):
 def simulate(spec: OCPSpec, x_init: jax.Array,
              policy_state: policies_mod.PolicyState,
              traj_table: jax.Array, steps: int,
-             config: LoopConfig = LoopConfig()) -> LoopResult:
+             config: LoopConfig = LoopConfig(),
+             measure=None) -> LoopResult:
     """Run `steps` ticks of the closed loop from `x_init`.
 
     With delay_steps = d > 0 the actuation path is modelled as a d-tick
@@ -83,21 +84,34 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
     that predicted state, and emits u_d... pattern collapsed to the
     reference's 'predict by T=delay under the last applied control, then
     take u1' for d = 1-step actuation lag + measurement lag.
+
+    measure: optional (state0, fn) measurement model with
+      fn(state, x_plant) -> (state', x_measured).  None = ideal feedback
+      (the controller sees the true plant state).  The estimator chain
+      plugs in here (see estimator_in_the_loop).
     """
     d = config.delay_steps
     f = spec.ode()
     uss = spec.steady_input(x_init.dtype)
 
     rti0 = init_rti(spec, x_init)
+    mstate0, measure_fn = measure if measure is not None else (None, None)
     # pending command pipeline: commands in flight (oldest first)
     u_pipe0 = jnp.broadcast_to(uss, (max(d, 1),) + uss.shape)
 
     def tick(carry, _):
-        x_plant, rti_state, pol_state, u_pipe, u_prev = carry
+        x_plant, rti_state, pol_state, u_pipe, u_prev, mstate = carry
 
         # --- reference generation (policy machine)
         yref, yref_e, pol_next = policies_mod.make_yref(
             spec, pol_state, traj_table)
+
+        # --- measurement model: ideal feedback, or the estimator chain's
+        # reconstruction of the state from raw sensor channels
+        if measure_fn is None:
+            x_meas = x_plant
+        else:
+            mstate, x_meas = measure_fn(mstate, x_plant)
 
         # --- delay-compensating state prediction (estimator predictor):
         # propagate the measurement forward by the round-trip delay under
@@ -109,7 +123,7 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
             xp, _ = jax.lax.scan(body, x, u_pipe[:d]) if d > 0 else (x, None)
             return xp
 
-        x_pred = predict(x_plant)
+        x_pred = predict(x_meas)
 
         # --- RTI solve from the predicted state
         rti_new, out = rti_step(spec, rti_state, x_pred, yref, yref_e,
@@ -139,16 +153,32 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
         x_next = integrate(f, spec.params, x_plant, u_apply, spec.dt,
                            config.plant_substeps)
 
-        carry = (x_next, rti_state, pol_next, u_pipe, u_cmd)
+        carry = (x_next, rti_state, pol_next, u_pipe, u_cmd, mstate)
         outs = (x_plant, u_apply, u_cmd, out.kkt_res, pol_state.mode)
         return carry, outs
 
-    carry0 = (x_init, rti0, policy_state, u_pipe0, uss)
+    carry0 = (x_init, rti0, policy_state, u_pipe0, uss, mstate0)
     tick_fn = jax.checkpoint(tick) if config.remat else tick
     _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
         tick_fn, carry0, None, length=steps)
     return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
                       policy_mode=modes)
+
+
+def tracking_error(res: LoopResult, traj_table) -> Any:
+    """Per-tick position error over the TRACKING window of a loop result.
+
+    The playhead advances one row per tick from 0, so the k-th tracking
+    tick aligns with table row k; the window closes when the policy
+    latches to Position_Hold.  One canonical implementation of the
+    output-contract metric (used by tests, examples, and bringups).
+    """
+    import numpy as np
+
+    track = np.asarray(res.policy_mode) == policies_mod.TRACKING
+    n = int(track.sum())
+    return np.linalg.norm(np.asarray(res.x)[track, :3]
+                          - np.asarray(traj_table)[:n, :3], axis=1)
 
 
 def hover_regulation(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
@@ -176,107 +206,56 @@ def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
     return simulate(spec, x_init, pol, traj_table, steps, config)
 
 
+def estimator_measurement(spec: OCPSpec, x_init):
+    """The reference estimator chain as a `simulate` measurement model.
+
+    Reduces the true plant state to the raw sensor channels on the
+    reference's wire — mocap position, stabilizer Euler attitude, gyro
+    rates (acados_estimator.cpp:452-513) — then reassembles the 13-state:
+    quaternion from Euler, 5-sample IIR-LPF position differentiation for
+    world velocity (the reference filter's 0.7686 DC gain included),
+    body-frame rotation.  Returns the (state0, fn) pair for
+    simulate(..., measure=...).
+    """
+    from crazyflie_nmpc_tpu.estimator.pipeline import fuse, init_estimator
+    from crazyflie_nmpc_tpu.models import rotations
+
+    def fn(est, x_plant):
+        return fuse(est, x_plant[:3],
+                    rotations.quat_to_euler(x_plant[3:7]), x_plant[10:],
+                    spec.dt)
+
+    return init_estimator(spec.params, x_init[:3]), fn
+
+
 def estimator_in_the_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
                           steps: int = 660, delay_steps: int = 4,
                           config: LoopConfig = LoopConfig(),
                           policy_state=None, traj_table=None):
-    """Full-fidelity closed loop: the NMPC sees only what the reference's
-    estimator would give it (SURVEY §7 step 6's measurement-synthesis
-    configuration).
+    """Full-fidelity closed loop: the NMPC sees only the estimator chain's
+    reconstruction of the plant (SURVEY §7 step 6's measurement-synthesis
+    configuration) — `simulate` with `estimator_measurement` plugged in.
 
-    Per tick, the true plant state is reduced to raw sensor channels —
-    mocap position, stabilizer Euler attitude, gyro rates (the quantities
-    on the reference's wire, acados_estimator.cpp:452-513) — then the full
-    estimator chain reassembles the 13-state: quaternion from Euler,
-    5-sample IIR-LPF position differentiation for world velocity (with the
-    reference filter's 0.7686 DC gain), body-frame rotation, and the
-    delay predictor integrating `delay_steps` ahead under the last
-    commanded rotor speeds.  The NMPC solves from that estimate while the
-    actual command reaches the plant through a delay_steps-tick actuation
-    pipe — exactly the reference's acados_predictor.launch loop, in pure
-    software.
+    `delay_steps` overrides config.delay_steps (the two are one knob: the
+    actuation pipe the loop models and the horizon the controller
+    predicts across).  Delay compensation integrates the MEASURED state
+    forward under the commands actually in flight, per `simulate`.  The
+    reference's single-last-command predictor
+    (estimator.pipeline.predict, acados_estimator.cpp:573-593) is NOT
+    used here: against this raw rotor-speed plant it is destabilizing at
+    60 ms (measured: diverges) — on the real vehicle the onboard attitude
+    loop absorbs that mismatch; in pure software the pipe-accurate
+    predictor is the faithful analog.
 
     Quadrotor-only (the estimator layer is the reference's sensor
     pipeline).  Returns LoopResult with x = TRUE plant states.
     """
-    from crazyflie_nmpc_tpu.estimator.pipeline import (
-        fuse,
-        init_estimator,
-        notify_command,
-    )
-    from crazyflie_nmpc_tpu.models import rotations
-
-    f = spec.ode()
-    uss = spec.steady_input(x_init.dtype)
-    d = max(delay_steps, 1)
-
+    cfg = dataclasses.replace(config, delay_steps=delay_steps)
     ny = spec.cost.W.shape[0]
     pol0 = (policy_state if policy_state is not None
             else policies_mod.regulation_state(setpoint))
     table = (jnp.asarray(traj_table, x_init.dtype)
              if traj_table is not None
              else jnp.zeros((1, ny), x_init.dtype))
-    rti0 = init_rti(spec, x_init)
-    est0 = init_estimator(spec.params, x_init[:3])
-    u_pipe0 = jnp.broadcast_to(uss, (d,) + uss.shape)
-
-    def tick(carry, _):
-        x_plant, rti_state, est, pol_state, u_pipe, u_prev = carry
-
-        yref, yref_e, pol_next = policies_mod.make_yref(spec, pol_state,
-                                                        table)
-
-        # raw sensor channels from the true state (the mocap/stabilizer/
-        # gyro wire quantities), then the full estimator fusion chain
-        est, x_fused = fuse(
-            est, x_plant[:3], rotations.quat_to_euler(x_plant[3:7]),
-            x_plant[10:], spec.dt)
-
-        # delay compensation: predict under the commands actually in
-        # flight (the actuation pipe), stage by stage.  The reference's
-        # single-last-command predictor (estimator.pipeline.predict,
-        # acados_estimator.cpp:573-593) assumes the latest published
-        # command is already acting; against this raw rotor-speed plant
-        # that assumption is destabilizing at 60 ms (measured: diverges),
-        # because the real vehicle's onboard attitude loop — absent here —
-        # is what absorbs the mismatch.
-        def body(xc, u_k):
-            return integrate(f, spec.params, xc, u_k, spec.dt,
-                             spec.sim_steps), None
-        if delay_steps > 0:
-            x_hat, _ = jax.lax.scan(body, x_fused, u_pipe)
-        else:
-            x_hat = x_fused
-
-        rti_new, out = rti_step(spec, rti_state, x_hat, yref, yref_e,
-                                config.ipm)
-        u_cmd = out.u0
-        if config.guard_failures:
-            ok = jnp.all(jnp.isfinite(out.u_plan)) & jnp.all(
-                jnp.isfinite(out.x_plan))
-            u_cmd = jnp.where(ok, u_cmd, u_prev)
-            rti_state = jax.tree.map(
-                lambda new, old: jnp.where(ok, new, old), rti_new,
-                rti_state)
-        else:
-            rti_state = rti_new
-        est = notify_command(est, u_cmd)
-
-        if delay_steps > 0:
-            u_apply = u_pipe[0]
-            u_pipe = jnp.concatenate([u_pipe[1:], u_cmd[None]], axis=0)
-        else:
-            u_apply = u_cmd
-        x_next = integrate(f, spec.params, x_plant, u_apply, spec.dt,
-                           config.plant_substeps)
-
-        carry = (x_next, rti_state, est, pol_next, u_pipe, u_cmd)
-        outs = (x_plant, u_apply, u_cmd, out.kkt_res, pol_state.mode)
-        return carry, outs
-
-    carry0 = (x_init, rti0, est0, pol0, u_pipe0, uss)
-    tick_fn = jax.checkpoint(tick) if config.remat else tick
-    _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
-        tick_fn, carry0, None, length=steps)
-    return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
-                      policy_mode=modes)
+    return simulate(spec, x_init, pol0, table, steps, cfg,
+                    measure=estimator_measurement(spec, x_init))

@@ -22,17 +22,11 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 from crazyflie_nmpc_tpu import runtime, solver, utils
+from crazyflie_nmpc_tpu.runtime import tracking_error
 from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
 from crazyflie_nmpc_tpu.runtime.closed_loop import LoopConfig
 from crazyflie_nmpc_tpu.solver import policies
 from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache
-
-
-def tracking_error(res, table):
-    track = np.asarray(res.policy_mode) == 1
-    e = np.linalg.norm(np.asarray(res.x)[track, :3]
-                       - np.asarray(table)[:int(track.sum()), :3], axis=1)
-    return e
 
 
 def main():

@@ -157,7 +157,7 @@ def test_helix_through_estimator():
         spec, table[0, :13], steps=400, delay_steps=4,
         config=LoopConfig(ipm=ipm.IPMConfig(iters=8)),
         policy_state=policies.tracking_state(), traj_table=table)
-    track = np.asarray(res.policy_mode) == 1
-    e = np.linalg.norm(np.asarray(res.x)[track, :3]
-                       - np.asarray(table)[:int(track.sum()), :3], axis=1)
+    from crazyflie_nmpc_tpu.runtime import tracking_error
+
+    e = tracking_error(res, table)
     assert e.max() < 0.05, e.max()
