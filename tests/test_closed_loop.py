@@ -161,3 +161,25 @@ def test_helix_through_estimator():
 
     e = tracking_error(res, table)
     assert e.max() < 0.05, e.max()
+
+
+def test_estimator_loop_vmaps_for_monte_carlo():
+    """BASELINE config 3 composability at full fidelity: the estimator
+    loop is pure, so Monte-Carlo over initial conditions is one vmap."""
+    from crazyflie_nmpc_tpu.runtime import estimator_in_the_loop
+
+    # production horizon: short-horizon specs (N~20) can park in nearby
+    # RTI fixed points off the setpoint (rti.py robustness note)
+    spec = default_ocp(dtype=jnp.float64)
+    key = jax.random.PRNGKey(3)
+    x0s = (hover_state(spec.params, dtype=jnp.float64)[None, :]
+           + 0.02 * jax.random.normal(key, (3, NX), jnp.float64))
+    x0s = x0s.at[:, 3:7].set(x0s[:, 3:7]
+                             / jnp.linalg.norm(x0s[:, 3:7], axis=1,
+                                               keepdims=True))
+    res = jax.vmap(lambda x: estimator_in_the_loop(
+        spec, x, steps=260, delay_steps=4,
+        config=LoopConfig(ipm=ipm.IPMConfig(iters=8))))(x0s)
+    finals = np.asarray(res.x[:, -1, :3])
+    assert np.abs(finals - np.array([0.0, 0.0, 0.5])).max() < 1e-3
+    assert np.all(np.isfinite(np.asarray(res.x)))
