@@ -76,6 +76,26 @@ class IPMConfig:
     # (HPIPM/acados have no analog — this is a beyond-parity knob).
     gondzio_correctors: int = dataclasses.field(default=0,
                                                 metadata=dict(static=True))
+    # Per-lane adaptive escalation (the saturation-accuracy fix): after the
+    # fixed-iteration solve, problems whose final complementarity mu
+    # exceeds `escalate_mu_tol` are RE-SOLVED from scratch with
+    # `escalate_iters` iterations (plain Mehrotra).  Measured on the
+    # saturating hover transient: the default 8-iteration budget leaves
+    # kRPM-scale u error only on active-set-discovery ticks, where mu
+    # stalls >= 1e-8; a 16-iteration re-solve converges those to machine
+    # precision (certified vs the dense active-set oracle,
+    # tests/test_certification.py).  escalate_iters=0 disables (default).
+    # In `solve` the re-solve is guarded by lax.cond (zero cost on
+    # converged ticks; under vmap the cond becomes a select and both
+    # branches pay).  In `ipm_fast.solve_batched` only the worst
+    # `escalate_capacity` lanes are gathered, re-solved as a sub-batch,
+    # and scattered back — cost ~ (capacity/B) x (escalate_iters/iters).
+    escalate_iters: int = dataclasses.field(default=0,
+                                            metadata=dict(static=True))
+    escalate_mu_tol: float = dataclasses.field(default=1e-9,
+                                               metadata=dict(static=True))
+    escalate_capacity: int = dataclasses.field(default=0,
+                                               metadata=dict(static=True))
 
 
 def _max_step(v, dv, tau):
@@ -285,7 +305,41 @@ def solve(qp: QPData, config: IPMConfig = IPMConfig(),
 
     Infinite bounds are supported: entries with non-finite lb/ub are masked
     out of the barrier (slack frozen at 1, dual at 0).
+
+    With `config.escalate_iters > 0` a problem whose final mu exceeds
+    `config.escalate_mu_tol` is re-solved from scratch at the larger
+    iteration budget (lax.cond — free when converged; a select under
+    vmap).  stats gains an `escalated` flag; `alphas`/`mus` traces stay
+    those of the primary solve (the escalated budget has a different
+    length).
     """
+    sol = _solve(qp, config, lam0_l, lam0_u)
+    if config.escalate_iters <= 0:
+        return sol
+    esc_cfg = dataclasses.replace(config, iters=config.escalate_iters,
+                                  escalate_iters=0, gondzio_correctors=0)
+
+    def resolve(_):
+        s2 = _solve(qp, esc_cfg, lam0_l, lam0_u)
+        stats = dict(sol.stats)
+        for k in ("mu", "res_stat", "res_eq", "res_ineq"):
+            stats[k] = s2.stats[k]
+        stats["escalated"] = jnp.int32(1)
+        return IPMSolution(dx=s2.dx, du=s2.du, lam_l=s2.lam_l,
+                           lam_u=s2.lam_u, stats=stats)
+
+    def keep(_):
+        stats = dict(sol.stats)
+        stats["escalated"] = jnp.int32(0)
+        return IPMSolution(dx=sol.dx, du=sol.du, lam_l=sol.lam_l,
+                           lam_u=sol.lam_u, stats=stats)
+
+    return jax.lax.cond(sol.stats["mu"] > config.escalate_mu_tol,
+                        resolve, keep, None)
+
+
+def _solve(qp: QPData, config: IPMConfig,
+           lam0_l=None, lam0_u=None) -> IPMSolution:
     finite_l = jnp.isfinite(qp.lb)
     finite_u = jnp.isfinite(qp.ub)
     n_ineq = jnp.maximum(jnp.sum(finite_l) + jnp.sum(finite_u), 1)

@@ -19,6 +19,7 @@ in tests/test_pallas_kernels.py.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, NamedTuple
 
 import jax
@@ -120,7 +121,71 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
     stages with stacked 8-dim inputs (exact reparametrization — bounds ride
     the unchanged inputs), halving the sequential Riccati depth and cutting
     factorization FLOPs ~28%/stage.  Requires fused=True and even N.
+
+    Per-lane adaptive escalation (config.escalate_iters > 0 AND
+    escalate_capacity > 0): the worst `escalate_capacity` lanes by final
+    complementarity mu that exceed `escalate_mu_tol` are gathered into a
+    compact sub-batch, re-solved from scratch with `escalate_iters` plain
+    Mehrotra iterations, and scattered back.  Static shapes throughout
+    (top_k with a fixed capacity); the whole escalation is guarded by
+    lax.cond so converged batches pay nothing.  Cost on hard ticks
+    ~ (capacity/B) x (escalate_iters/iters + fixed); accuracy: the
+    iteration-starved saturating lanes converge to the exact active-set
+    solution (tests/test_certification.py).  stats gains `escalated`
+    (number of re-solved lanes).
     """
+    sol = _solve_core(qp, config, block_b, stages_per_step, interpret,
+                      fused, lam0_l, lam0_u, condense)
+    cap = config.escalate_capacity
+    if config.escalate_iters <= 0 or cap <= 0:
+        return sol
+    B = qp["c"].shape[-1]
+    cap = min(cap, B)
+    sub_bb = min(block_b, cap)
+    esc_cfg = IPMConfig(
+        iters=config.escalate_iters, tau=config.tau, reg=config.reg,
+        s_min_init=config.s_min_init, mu0_init=config.mu0_init)
+
+    score = sol.stats["mu"]
+    bad = score > config.escalate_mu_tol
+    masked = jnp.where(bad, score, -jnp.inf)
+    _, idx = jax.lax.top_k(masked, cap)          # distinct lane indices
+    valid = bad[idx]                              # (cap,)
+
+    def scat(full, sub):
+        upd = jnp.where(valid, sub, full[..., idx])
+        return full.at[..., idx].set(upd)
+
+    def escalate(_):
+        sub_qp = {k: v[..., idx] for k, v in qp.items()}
+        sub = _solve_core(sub_qp, esc_cfg, sub_bb, stages_per_step,
+                          interpret, fused, None, None, condense)
+        stats = dict(sol.stats)
+        for k in ("mu", "res_stat", "res_eq"):
+            stats[k] = scat(stats[k], sub.stats[k])
+        stats["escalated"] = jnp.sum(valid.astype(jnp.int32),
+                                     dtype=jnp.int32)
+        return BatchSolution(dx=scat(sol.dx, sub.dx),
+                             du=scat(sol.du, sub.du),
+                             lam_l=scat(sol.lam_l, sub.lam_l),
+                             lam_u=scat(sol.lam_u, sub.lam_u),
+                             stats=stats)
+
+    def keep(_):
+        stats = dict(sol.stats)
+        stats["escalated"] = jnp.int32(0)
+        return BatchSolution(dx=sol.dx, du=sol.du, lam_l=sol.lam_l,
+                             lam_u=sol.lam_u, stats=stats)
+
+    return jax.lax.cond(jnp.any(bad), escalate, keep, None)
+
+
+def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
+                block_b: int = 128, stages_per_step: int = 1,
+                interpret: bool = False,
+                fused: bool = True,
+                lam0_l=None, lam0_u=None,
+                condense: int = 1) -> BatchSolution:
     A, Bm, c = qp["A"], qp["B"], qp["c"]
     qxx, qx, ruu, ru = qp["qxx"], qp["qx"], qp["ruu"], qp["ru"]
     pT_diag, p_T = qp["pT"], qp["p"]
@@ -138,11 +203,21 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
         # clamp the c2 sweeps' stage blocking to the VMEM envelope BEFORE
         # any condensing work runs (the check needs only static shapes).
         # Interpret mode has no scoped-VMEM limit — honor the request.
+        ms_req = max(1, stages_per_step // 2)
         if interpret:
-            ms_c2 = max(1, stages_per_step // 2)
+            ms_c2 = ms_req
         else:
-            ms_c2 = _c2_vmem_clamp(M, block_b,
-                                   max(1, stages_per_step // 2))
+            ms_c2 = _c2_vmem_clamp(M, block_b, ms_req)
+            if ms_c2 < ms_req:
+                # surface the reduction: a config validated in interpret
+                # mode (no clamp) can silently run with smaller blocking
+                # here — identical results, different performance envelope
+                warnings.warn(
+                    f"fused c2 sweeps: stage blocking clamped "
+                    f"{ms_req} -> {ms_c2} to fit the VMEM envelope "
+                    f"(M={M} condensed stages, block_b={block_b}); also "
+                    f"reported in stats['c2_stages_per_step']",
+                    stacklevel=2)
         cnd = ck.condense2(A, Bm, c, qxx, qx, ru, block_b=block_b,
                            interpret=interpret)
         # bounds / slacks / duals are per ORIGINAL input; stage-major
@@ -381,6 +456,9 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
                              jnp.max(jnp.abs(r1u), axis=(0, 1))),
         res_eq=jnp.max(jnp.abs(r2), axis=(0, 1)),
     )
+    if cond2:
+        # effective (possibly VMEM-clamped) stage blocking of the c2 sweeps
+        stats["c2_stages_per_step"] = kern["stages_per_step"]
 
     if cond2:
         # expand: interior states were eliminated exactly through their

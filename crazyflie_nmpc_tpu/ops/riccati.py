@@ -17,7 +17,7 @@ Problem solved (dims: N stages, nx states, nu inputs):
   s.t. dx_{k+1} = A_k dx_k + B_k du_k + c_k,  dx_0 given.
 
 All functions operate on one problem; batching is `vmap` over whole solves.
-A parallel-in-N associative-scan variant lives in `ops/assoc_riccati.py`.
+A parallel-in-N associative-scan variant lives in `ops/riccati_pscan.py`.
 """
 
 from __future__ import annotations

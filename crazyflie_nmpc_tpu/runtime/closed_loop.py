@@ -194,8 +194,7 @@ def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
                         config: LoopConfig = LoopConfig()):
     """BASELINE config 2: precomputed-trajectory tracking (helix etc.)."""
     ny = spec.cost.W.shape[0]
-    nx = spec.cost.Vx_e.shape[1]
-    if traj_table.shape[-1] == ny and not (ny == 17 and nx == 13):
+    if spec.f is not None:
         # custom-model spec: the regulation setpoint is unused in TRACKING
         # mode but must have the full (ny,) layout to trace (policies.py)
         pol = policies_mod.tracking_state(

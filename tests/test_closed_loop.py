@@ -160,7 +160,9 @@ def test_helix_through_estimator():
     from crazyflie_nmpc_tpu.runtime import tracking_error
 
     e = tracking_error(res, table)
-    assert e.max() < 0.05, e.max()
+    # pins the README headline (1.9 cm measured over the full helix) with
+    # modest drift headroom — ADVICE r1: keep the advertised figure honest
+    assert e.max() < 0.025, e.max()
 
 
 def test_estimator_loop_vmaps_for_monte_carlo():

@@ -7,6 +7,11 @@ reference's (dead) dynamic_reconfigure weight panel gestured at
 (crazyflie_params.cfg:12-36; SET_WEIGHTS=0 bug acados_mpc.cpp:110).
 """
 
+import functools
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 import jax
@@ -20,6 +25,38 @@ from crazyflie_nmpc_tpu.runtime.closed_loop import (
     LoopConfig,
     hover_regulation,
 )
+
+
+_IN_SUBPROC = os.environ.get("CFTPU_TUNING_SUBPROC") == "1"
+
+
+def _isolated(fn):
+    """Run the test body in a fresh interpreter (pytest re-invocation).
+
+    The scan-transpose graphs in these grad-through-the-solver tests are
+    the largest XLA compiles in the suite; under full-suite memory
+    pressure on small hosts the in-process compile can SIGSEGV (observed:
+    exit 139 inside the remat transpose after ~160 green tests, while the
+    same test passes in isolation).  A fresh process compiles the same
+    graph comfortably and hits the persistent compilation cache on repeat
+    runs.  Same isolation idea as test_distributed.py's worker pattern.
+    """
+
+    @functools.wraps(fn)
+    def wrapper():
+        if _IN_SUBPROC:
+            return fn()
+        env = dict(os.environ, CFTPU_TUNING_SUBPROC="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             f"{os.path.abspath(__file__)}::{fn.__name__}",
+             "-x", "-q", "-p", "no:cacheprovider"],
+            env=env, capture_output=True, text=True, timeout=1800)
+        assert r.returncode == 0, (
+            f"{fn.__name__} failed in isolated subprocess "
+            f"(rc={r.returncode}):\n{r.stdout[-4000:]}\n{r.stderr[-2000:]}")
+
+    return wrapper
 
 
 def _detuned_spec():
@@ -69,6 +106,7 @@ def test_tune_diagonal_cost_improves_hover():
     assert np.all(np.asarray(res.w_diag) > 0)  # log-space: positive
 
 
+@_isolated
 def test_remat_gradients_match():
     """LoopConfig(remat=True) recomputes ticks in the backward pass; the
     gradient must match the stored-activations gradient exactly while
