@@ -85,6 +85,46 @@ def main():
     print(f"rank {rank}: OK devices={n_dev} u0_local={u0_local.shape}",
           flush=True)
 
+    # ---- phase 2: STAGE axis across the process boundary --------------
+    # The horizon's all_gather of condensed QP blocks
+    # (parallel/sharded.py:112) rides the cross-process (Gloo, i.e. the
+    # DCN stand-in) collective here: mesh = (batch=1, stage=all devices),
+    # with each PROCESS owning half the stage devices.  This is the
+    # reference's HPIPM Riccati structure crossing hosts (SURVEY.md §2.6).
+    from jax import shard_map
+    from crazyflie_nmpc_tpu.parallel import stage_sharded_rti_step
+    from crazyflie_nmpc_tpu.parallel.mesh import STAGE_AXIS
+
+    jax.config.update("jax_enable_x64", True)
+    spec_s = default_ocp(N=8, dtype=jnp.float64)
+    yref_s, yref_e_s = hover_yref(spec_s)
+    mesh_s = make_mesh(batch=1, stage=n_dev)
+    x0_s = np.asarray(hover_state(spec_s.params, pos=(0.1, -0.05, 0.3)))
+    state_s = init_rti(spec_s, jnp.asarray(x0_s))
+
+    rep = NamedSharding(mesh_s, P())   # replicated: full array per process
+
+    def replicate(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(rep, a, a.shape)
+
+    state_g = jax.tree.map(replicate, state_s)
+    args_g = tuple(replicate(a) for a in (x0_s, yref_s, yref_e_s))
+
+    fn = shard_map(
+        lambda s, x, yr, ye: stage_sharded_rti_step(
+            spec_s, mesh_s, 2, s, x, yr, ye, IPMConfig(iters=10)),
+        mesh=mesh_s,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    new_state_s, out_s = jax.jit(fn)(state_g, *args_g)
+    # output is replicated: any local shard holds the full array
+    u_traj = np.asarray(new_state_s.u_traj.addressable_shards[0].data)
+    np.save(os.path.join(outdir, f"stage_u_rank{rank}.npy"), u_traj)
+    print(f"rank {rank}: stage-axis OK u_traj={u_traj.shape}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -68,3 +68,22 @@ def test_two_process_pod_step(tmp_path):
     k0 = np.load(tmp_path / "kkt_rank0.npy")
     k1 = np.load(tmp_path / "kkt_rank1.npy")
     np.testing.assert_allclose(k0, k1, rtol=1e-6)
+
+    # ---- stage axis across processes (phase 2 of the worker) ----------
+    # The condensed-block all_gather (parallel/sharded.py:112) crossed the
+    # Gloo process boundary; compare against the unsharded RTI step.
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.solver import rti_step
+
+    jax.config.update("jax_enable_x64", True)
+    spec_s = default_ocp(N=8, dtype=jnp.float64)
+    yref_s, yref_e_s = hover_yref(spec_s)
+    x0_s = hover_state(spec_s.params, pos=(0.1, -0.05, 0.3))
+    state_s = init_rti(spec_s, x0_s)
+    _, ref_out = jax.jit(lambda s, x: rti_step(
+        spec_s, s, x, yref_s, yref_e_s, IPMConfig(iters=10)))(state_s, x0_s)
+
+    for r in range(NPROC):
+        u_traj = np.load(tmp_path / f"stage_u_rank{r}.npy")
+        np.testing.assert_allclose(u_traj, np.asarray(ref_out.u_plan),
+                                   rtol=1e-8, atol=1e-9)
