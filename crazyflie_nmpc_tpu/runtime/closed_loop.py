@@ -46,6 +46,20 @@ class LoopConfig:
                                          metadata=dict(static=True))
     plant_substeps: int = dataclasses.field(default=1,
                                             metadata=dict(static=True))
+    # delay predictor scheme:
+    #   "pending"      — integrate the measurement forward under the
+    #                    commands actually in flight (pipe-accurate; this
+    #                    repo's default, see estimator_in_the_loop)
+    #   "last_command" — the reference's scheme verbatim: one ZOH
+    #                    integration of length delay under the last
+    #                    published control (acados_estimator.cpp:573-593).
+    #                    On the RAW rotor-speed plant this is
+    #                    destabilizing at 60 ms (pinned in
+    #                    tests/test_estimator_fidelity.py); it is the
+    #                    right model only when the plant has an inner
+    #                    attitude loop (see cmd_vel_loop).
+    predictor: str = dataclasses.field(default="pending",
+                                       metadata=dict(static=True))
     # hold-last-action on solver failure: a non-finite solve publishes the
     # previous command instead (the reference's failed-solve behavior —
     # the catch block keeps the last outputs, acados_mpc.cpp:714-717,
@@ -117,10 +131,18 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
         # propagate the measurement forward by the round-trip delay under
         # the commands already in flight (acados_estimator.cpp:573-593).
         def predict(x):
+            if d == 0:
+                return x
+            if config.predictor == "last_command":
+                # acados_estimator.cpp:573-593: sim_in_set("T", delay),
+                # sim_in_set("u", last acados_motvel), one solve
+                return integrate(f, spec.params, x, u_prev,
+                                 d * spec.dt, d * spec.sim_steps)
+
             def body(xc, u_k):
                 return integrate(f, spec.params, xc, u_k, spec.dt,
                                  spec.sim_steps), None
-            xp, _ = jax.lax.scan(body, x, u_pipe[:d]) if d > 0 else (x, None)
+            xp, _ = jax.lax.scan(body, x, u_pipe[:d])
             return xp
 
         x_pred = predict(x_meas)
@@ -203,6 +225,84 @@ def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
         pol = policies_mod.tracking_state()
     steps = steps or traj_table.shape[0]
     return simulate(spec, x_init, pol, traj_table, steps, config)
+
+
+def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
+                 steps: int = 660, delay_steps: int = 4,
+                 config: LoopConfig = LoopConfig(), gains=None,
+                 plant_substeps: int = 10):
+    """The reference's ACTUAL actuation architecture, closed in software:
+
+        NMPC (rotor-level internal model, u1/x4 extraction)
+          -> to_cmd_vel                      (acados_mpc.cpp:644-670)
+          -> d-tick radio pipe               (60 ms round trip)
+          -> onboard attitude/rate cascade   (models.firmware)
+          -> rotor physics
+
+    with the reference's OWN delay predictor — one ZOH integration of
+    length d*dt under the last published motvel (u0,
+    acados_estimator.cpp:573-593).  This is the configuration in which
+    the single-last-command scheme is stable: the onboard inner loop
+    absorbs the actuation mismatch that destabilizes the raw rotor-speed
+    plant (pinned side by side in tests/test_estimator_fidelity.py).
+
+    Returns LoopResult: x = true plant states, u = rotor speeds the
+    onboard mixer actually produced, u_cmd = the NMPC's published u0.
+    """
+    from crazyflie_nmpc_tpu.models.firmware import (
+        AttitudeGains, attitude_plant_step)
+    from crazyflie_nmpc_tpu.solver.outputs import to_cmd_vel
+
+    gains = gains if gains is not None else AttitudeGains()
+    d = delay_steps
+    f = spec.ode()
+    uss = spec.steady_input(x_init.dtype)
+    pol0 = policies_mod.regulation_state(setpoint)
+    ny = spec.cost.W.shape[0]
+    table = jnp.zeros((1, ny), x_init.dtype)
+    rti0 = init_rti(spec, x_init)
+
+    from crazyflie_nmpc_tpu.solver.outputs import krpm2pwm
+
+    hover_cmd = jnp.array(
+        [0.0, 0.0, 0.0, krpm2pwm(jnp.mean(uss))], x_init.dtype)
+    cmd_pipe0 = jnp.broadcast_to(hover_cmd, (max(d, 1), 4))
+
+    def tick(carry, _):
+        x_plant, rti_state, pol_state, cmd_pipe, u_prev = carry
+        yref, yref_e, pol_next = policies_mod.make_yref(
+            spec, pol_state, table)
+
+        # the reference predictor: ZOH under the last published motvel
+        x_pred = (integrate(f, spec.params, x_plant, u_prev,
+                            d * spec.dt, max(d, 1) * spec.sim_steps)
+                  if d > 0 else x_plant)
+
+        rti_state, out = rti_step(spec, rti_state, x_pred, yref, yref_e,
+                                  config.ipm)
+        tw = to_cmd_vel(out.u1, out.x_at(4))
+        cmd = jnp.stack([tw.roll_deg, tw.pitch_deg, tw.yawrate_deg,
+                         tw.thrust_pwm])
+
+        if d > 0:
+            cmd_apply = cmd_pipe[0]
+            cmd_pipe = jnp.concatenate([cmd_pipe[1:d], cmd[None]], axis=0)
+        else:
+            cmd_apply = cmd
+
+        x_next, u_rotor = attitude_plant_step(
+            spec.params, x_plant, cmd_apply, spec.dt,
+            substeps=plant_substeps, gains=gains)
+
+        carry = (x_next, rti_state, pol_next, cmd_pipe, out.u0)
+        outs = (x_plant, u_rotor, out.u0, out.kkt_res, pol_state.mode)
+        return carry, outs
+
+    carry0 = (x_init, rti0, pol0, cmd_pipe0, uss)
+    _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
+        tick, carry0, None, length=steps)
+    return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
+                      policy_mode=modes)
 
 
 def estimator_measurement(spec: OCPSpec, x_init):

@@ -1,0 +1,106 @@
+"""Pinning the delay-predictor fidelity claim (VERDICT round-1 item).
+
+The reference compensates its 60 ms round trip by ONE ZOH integration of
+the measured state under the last published motor command
+(acados_estimator.cpp:573-593).  Two facts, asserted side by side:
+
+  1. On the RAW rotor-speed plant (the pure-software loop where the NMPC's
+     u drives the physics directly) that scheme is DESTABILIZING at 60 ms:
+     the actuation mismatch compounds through the open-loop-unstable
+     attitude dynamics.  This is why estimator_in_the_loop uses the
+     pipe-accurate pending-commands predictor instead
+     (runtime/closed_loop.py docstring).
+  2. In the configuration the reference actually flies — cmd_vel attitude
+     commands into an ONBOARD attitude/rate cascade (models.firmware) —
+     the same single-last-command predictor is stable: the inner loop
+     absorbs the mismatch.  runtime.cmd_vel_loop closes that exact
+     architecture (u1/x4 -> cmd_vel -> radio pipe -> firmware cascade).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from crazyflie_nmpc_tpu.models import hover_state
+from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+from crazyflie_nmpc_tpu.runtime.closed_loop import (
+    LoopConfig,
+    cmd_vel_loop,
+    hover_regulation,
+)
+from crazyflie_nmpc_tpu.solver import default_ocp
+
+SETPOINT = (0.0, 0.0, 0.5)
+START = (0.15, -0.1, 0.3)
+
+
+def _spec():
+    return default_ocp(dtype=jnp.float64)
+
+
+def _pos_err(res):
+    return np.abs(np.asarray(res.x)[:, :3] - np.asarray(SETPOINT))
+
+
+def test_last_command_predictor_diverges_on_rotor_plant():
+    """Fact 1: the reference's predictor scheme, applied to the raw
+    rotor-speed plant at the reference's 60 ms delay, diverges from a
+    15 cm offset — while the pipe-accurate pending-commands predictor
+    holds the same loop stable."""
+    spec = _spec()
+    x0 = hover_state(spec.params, pos=START, dtype=jnp.float64)
+    steps = 260
+
+    ref_scheme = hover_regulation(
+        spec, x0, SETPOINT, steps=steps,
+        config=LoopConfig(delay_steps=4, predictor="last_command",
+                          guard_failures=False, ipm=IPMConfig(iters=10)))
+    e_ref = _pos_err(ref_scheme)
+    worst = np.nanmax(np.where(np.isfinite(e_ref), e_ref, np.inf))
+    assert (not np.all(np.isfinite(e_ref))) or worst > 1.0, (
+        f"expected divergence, worst error {worst}")
+
+    pending = hover_regulation(
+        spec, x0, SETPOINT, steps=steps,
+        config=LoopConfig(delay_steps=4, predictor="pending",
+                          ipm=IPMConfig(iters=10)))
+    e_pend = _pos_err(pending)
+    assert np.all(np.isfinite(e_pend))
+    assert e_pend[-1].max() < 1e-3
+
+
+def test_last_command_predictor_stable_with_onboard_attitude_loop():
+    """Fact 2: the reference's own architecture — cmd_vel into the
+    onboard attitude cascade with the single-last-command predictor —
+    converges at the reference's DEFAULT delay (15 ms,
+    crazyflie_estimator.cfg:8) and at 30 ms, where the raw rotor plant
+    under the same scheme diverges (fact 1 shows it at 60 ms; at 30 ms
+    on the rotor plant the worst transient already exceeds meters).
+
+    Measured envelope of this software cascade (kp_att=10, kp_rate=40,
+    no motor lag model): stable through delay_steps=2, unstable at >=3 —
+    the paper's 60 ms hardware margin relies on firmware details (rate-D
+    term, motor response) outside this model, so the pin stays at the
+    envelope actually measured."""
+    spec = _spec()
+    x0 = hover_state(spec.params, pos=START, dtype=jnp.float64)
+    for d in (1, 2):
+        res = cmd_vel_loop(spec, x0, SETPOINT, steps=400, delay_steps=d,
+                           config=LoopConfig(ipm=IPMConfig(iters=10)))
+        e = _pos_err(res)
+        assert np.all(np.isfinite(e))
+        assert e[-1].max() < 0.05, f"d={d}: final error {e[-1]}"
+        # rotor commands the onboard mixer produced stay in the envelope
+        u = np.asarray(res.u)
+        assert u.min() >= 0.0 and u.max() <= 22.0
+
+
+def test_cmd_vel_loop_no_delay_tracks_tightly():
+    """Sanity: without radio delay the cmd_vel architecture still hovers
+    (inner loop + NMPC compose), tighter than the delayed case."""
+    spec = _spec()
+    x0 = hover_state(spec.params, pos=START, dtype=jnp.float64)
+    res = cmd_vel_loop(spec, x0, SETPOINT, steps=300, delay_steps=0,
+                       config=LoopConfig(ipm=IPMConfig(iters=10)))
+    e = _pos_err(res)
+    assert np.all(np.isfinite(e))
+    assert e[-1].max() < 0.02, f"final error {e[-1]}"
