@@ -62,7 +62,8 @@ def _max_step_lane(v, dv, tau):
     return jnp.minimum(1.0, tau * jnp.min(ratio, axis=(0, 1)))
 
 
-def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int):
+def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int,
+                   window: int = 2400, gain: int = 150):
     """Clamp stages_per_step so the fused condensed kernels fit scoped VMEM
     (~16 MB on v5e); raise past the horizon envelope.
 
@@ -84,7 +85,7 @@ def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int):
     ms=1) the fused path cannot run: callers should drop to condense=1 /
     ops.ipm or shard the horizon (parallel.stage_sharded_rti_step).
     """
-    WINDOW, GAIN = 2400, 150
+    WINDOW, GAIN = window, gain
     BUDGET = int(12.7 * 1024 * 1024)  # admits N=200/ms=4, rejects ms=5
 
     def fits(ms):
@@ -108,7 +109,8 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
                   interpret: bool = False,
                   fused: bool = True,
                   lam0_l=None, lam0_u=None,
-                  condense: int = 1) -> BatchSolution:
+                  condense: int = 1,
+                  fused_iter: bool = False) -> BatchSolution:
     """Solve a batch of box-constrained multistage QPs (batch-last layout,
     diagonal cost — see `from_qpdata`).
 
@@ -135,7 +137,7 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
     (number of re-solved lanes).
     """
     sol = _solve_core(qp, config, block_b, stages_per_step, interpret,
-                      fused, lam0_l, lam0_u, condense)
+                      fused, lam0_l, lam0_u, condense, fused_iter)
     cap = config.escalate_capacity
     if config.escalate_iters <= 0 or cap <= 0:
         return sol
@@ -185,7 +187,8 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                 interpret: bool = False,
                 fused: bool = True,
                 lam0_l=None, lam0_u=None,
-                condense: int = 1) -> BatchSolution:
+                condense: int = 1,
+                fused_iter: bool = False) -> BatchSolution:
     A, Bm, c = qp["A"], qp["B"], qp["c"]
     qxx, qx, ruu, ru = qp["qxx"], qp["qx"], qp["ruu"], qp["ru"]
     pT_diag, p_T = qp["pT"], qp["p"]
@@ -204,10 +207,12 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         # any condensing work runs (the check needs only static shapes).
         # Interpret mode has no scoped-VMEM limit — honor the request.
         ms_req = max(1, stages_per_step // 2)
+        use_iter = fused_iter and fused and config.gondzio_correctors == 0
+        clamp_kw = dict(window=2600, gain=240) if use_iter else {}
         if interpret:
             ms_c2 = ms_req
         else:
-            ms_c2 = _c2_vmem_clamp(M, block_b, ms_req)
+            ms_c2 = _c2_vmem_clamp(M, block_b, ms_req, **clamp_kw)
             if ms_c2 < ms_req:
                 # surface the reduction: a config validated in interpret
                 # mode (no clamp) can silently run with smaller blocking
@@ -443,10 +448,52 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                  shrink * r3, shrink * r4)
         return carry, (alpha, mu)
 
-    carry0 = (z_dx, z_du, s_l, s_u, lam_l, lam_u, r1x, r1u, r2, r3, r4)
-    carry, (alphas, mus) = jax.lax.scan(iteration, carry0, None,
-                                        length=config.iters)
-    (z_dx, z_du, s_l, s_u, lam_l, lam_u, r1x, r1u, r2, r3, r4) = carry
+    if cond2 and fused_iter and config.gondzio_correctors == 0:
+        # whole-iteration fused kernel: ONE Pallas launch per Mehrotra
+        # iteration (ck.iter_sweep_c2) — all slack/dual/step-length
+        # algebra runs in-kernel, K/L/Pc never leave VMEM.  Parity with
+        # the `iteration` body above is pinned in tests (the reductions
+        # accumulate stage-sequentially instead of in XLA's order, so
+        # agreement is to rounding, exact in f64).  OPT-IN (fused_iter):
+        # measured on v5e the single-launch form runs ~2.5x SLOWER than
+        # the two-launch iteration (the 5-phase window + gain scratch
+        # crosses the Mosaic spill cliff) and compiles pathologically
+        # under XLA loops -- see docs/PERF.md "what did NOT work".
+        m_l = finite_l.astype(dtype)
+        m_u = finite_u.astype(dtype)
+        carry0 = (z_dx[:-1], z_dx[-1], z_du, s_l, s_u, lam_l, lam_u,
+                  r1x[:-1], r1x[-1], r1u, c, qp["dx0"], r3, r4)
+
+        def iteration2(carry, _):
+            (zdxm, zdxT, z_du_, s_l_, s_u_, lam_l_, lam_u_,
+             r1xm, r1xT, r1u_, c_res, dx0_res, r3_, r4_) = carry
+            outs = ck.iter_sweep_c2(
+                Abar, Bbar, c_res, Qbar, S1T, R00, r1xm, ruu, r1u_,
+                s_l_, s_u_, lam_l_, lam_u_, r3_, r4_, m_l, m_u,
+                zdxm, z_du_, pT_diag, r1xT, dx0_res, zdxT,
+                n_ineq, has_ineq, float(config.tau),
+                block_b=block_b,
+                stages_per_step=kern["stages_per_step"],
+                interpret=interpret)
+            (zdxm, z_du_, s_l_, s_u_, lam_l_, lam_u_, r1xm, r1u_,
+             c_res, r3_, r4_, r1xT, dx0_res, zdxT, alpha, mu) = outs
+            carry = (zdxm, zdxT, z_du_, s_l_, s_u_, lam_l_, lam_u_,
+                     r1xm, r1xT, r1u_, c_res, dx0_res, r3_, r4_)
+            return carry, (alpha[0], mu[0])
+
+        carry, (alphas, mus) = jax.lax.scan(iteration2, carry0, None,
+                                            length=config.iters)
+        (zdxm, zdxT, z_du, s_l, s_u, lam_l, lam_u,
+         r1xm, r1xT, r1u, c_res, dx0_res, r3, r4) = carry
+        z_dx = jnp.concatenate([zdxm, zdxT[None]], axis=0)
+        r1x = jnp.concatenate([r1xm, r1xT[None]], axis=0)
+        r2 = jnp.concatenate([-dx0_res[None], -c_res], axis=0)
+    else:
+        carry0 = (z_dx, z_du, s_l, s_u, lam_l, lam_u, r1x, r1u, r2, r3,
+                  r4)
+        carry, (alphas, mus) = jax.lax.scan(iteration, carry0, None,
+                                            length=config.iters)
+        (z_dx, z_du, s_l, s_u, lam_l, lam_u, r1x, r1u, r2, r3, r4) = carry
 
     mu_final = (jnp.sum(lam_l * s_l * finite_l, axis=(0, 1))
                 + jnp.sum(lam_u * s_u * finite_u, axis=(0, 1))) / n_ineq

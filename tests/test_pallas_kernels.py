@@ -365,6 +365,48 @@ def test_ipm_fast_condensed_matches_ipm():
                                np.asarray(ref.lam_l), rtol=5e-3, atol=5e-3)
 
 
+def test_iter_sweep_c2_matches_two_launch_path():
+    """The opt-in whole-iteration kernel (iter_sweep_c2, fused_iter=True)
+    vs the default two-launch iteration: same Mehrotra algebra, the only
+    difference is stage-sequential in-kernel reductions for mu/alpha —
+    agreement to f32 rounding on bounded QPs.  (The single-launch form is
+    an opt-in because it measured ~2.5x SLOWER on v5e — docs/PERF.md.)"""
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    qps = []
+    for k in keys:
+        diag, dense = random_diag_lq(k)
+        _, du_ref = riccati.solve_lq(
+            A=dense["A"], B=dense["B"], c=dense["c"], Qxx=dense["Qxx"],
+            qx=dense["qx"], Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+            P_term=dense["P_term"], p_term=dense["p_term"],
+            dx0=dense["dx0"])
+        lim = 0.5 * float(jnp.max(jnp.abs(du_ref)))
+        qps.append(QPData(A=dense["A"], B=dense["B"], c=dense["c"],
+                          Qxx=dense["Qxx"], qx=dense["qx"],
+                          Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+                          P=dense["P_term"], p=dense["p_term"],
+                          lb=jnp.full((N, NUD), -lim),
+                          ub=jnp.full((N, NUD), lim), dx0=dense["dx0"]))
+    batched = jax.tree.map(
+        lambda *xs: jnp.stack(xs).astype(jnp.float32), *qps)
+
+    cfg = ipm.IPMConfig(iters=8)
+    base = ipm_fast.solve_batched(ipm_fast.from_qpdata(batched), cfg,
+                                  condense=2, **KERN)
+    one = ipm_fast.solve_batched(ipm_fast.from_qpdata(batched), cfg,
+                                 condense=2, fused_iter=True, **KERN)
+    np.testing.assert_allclose(np.asarray(one.du), np.asarray(base.du),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(one.dx), np.asarray(base.dx),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(one.lam_l),
+                               np.asarray(base.lam_l),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(one.stats["mu"]),
+                               np.asarray(base.stats["mu"]),
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_rti_step_batched_condensed_matches_plain():
     from crazyflie_nmpc_tpu.models import hover_state, NX
     from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
