@@ -426,6 +426,212 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
 
 
 # ---------------------------------------------------------------------------
+# windowed (split) c2 sweeps for LONG horizons: no O(M) VMEM gain scratch
+# ---------------------------------------------------------------------------
+#
+# The fused two-phase sweeps park the whole horizon's (K, kff) in VMEM so
+# the forward phase can replay them without touching HBM — an O(M) scratch
+# term that caps the single-chip horizon (ipm_fast._c2_vmem_clamp).  Past
+# that envelope these split launches run backward and forward as SEPARATE
+# kernels: gains go to HBM (they are solver outputs anyway) and the
+# forward launch streams them back per stage block.  VMEM is then O(ms)
+# only, so any horizon that fits HBM runs on one chip; the price is one
+# extra launch per sweep plus the K/kff round trip (~25% of sweep bytes).
+
+
+def _bwd_c2_kernel(ms, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
+                   qx_ref, ruu_ref, ru_ref, Pt_ref, pt_ref,
+                   K_out, kff_out, L_out, Pc_out, P_scr, p_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        eye = jnp.eye(NX, dtype=Pt_ref.dtype)[:, :, None]
+        P_scr[:] = eye * Pt_ref[:][None, :, :]
+        p_scr[:] = pt_ref[:]
+
+    for j in range(ms - 1, -1, -1):
+        A = A_ref[j]
+        Bm = B_ref[j]
+        c = c_ref[j]
+        P = P_scr[:]
+        p = p_scr[:]
+        PA = _mm(P, A, NX, NX, NX)
+        PB = _mm(P, Bm, NX, NX, NUC)
+        Pc = _mv(P, c, NX, NX)
+        m = p + Pc
+        BtPB = _mtm(Bm, PB, NX, NUC, NUC)
+        z44 = jnp.zeros_like(R00_ref[j])
+        R00p = jnp.concatenate([
+            jnp.concatenate([R00_ref[j], z44], axis=1),
+            jnp.concatenate([z44, z44], axis=1)], axis=0)
+        Quu = _add_diag(BtPB + R00p, ruu_ref[j], NUC)
+        S1T = S1T_ref[j]
+        SxT = jnp.concatenate([S1T, jnp.zeros_like(S1T)], axis=0)
+        Qux = SxT + _mtm(Bm, PA, NX, NUC, NX)
+        Qu = ru_ref[j] + _mtv(Bm, m, NX, NUC)
+
+        L = _chol_n(Quu, NUC)
+        K = -_cho_solve_n(L, Qux, NUC, NX)
+        kff = -_cho_solve_n_vec(L, Qu, NUC)
+
+        APA = _mtm(A, PA, NX, NX, NX)
+        QK = _mtm(Qux, K, NUC, NX, NX)
+        P_new = Q_ref[j] + APA + QK
+        P_scr[:] = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+        p_scr[:] = qx_ref[j] + _mtv(A, m, NX, NX) + _mtv(K, Qu, NUC, NX)
+
+        K_out[j] = K
+        kff_out[j] = kff
+        L_out[j] = L
+        Pc_out[j] = Pc
+
+
+def _bwd_vec_c2_kernel(ms, A_ref, B_ref, qx_ref, ru_ref, K_ref, L_ref,
+                       Pc_ref, pt_ref, kff_out, p_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        p_scr[:] = pt_ref[:]
+
+    for j in range(ms - 1, -1, -1):
+        p = p_scr[:]
+        m = p + Pc_ref[j]
+        Qu = ru_ref[j] + _mtv(B_ref[j], m, NX, NUC)
+        kff = -_cho_solve_n_vec(L_ref[j], Qu, NUC)
+        p_scr[:] = (qx_ref[j] + _mtv(A_ref[j], m, NX, NX)
+                    + _mtv(K_ref[j], Qu, NUC, NX))
+        kff_out[j] = kff
+
+
+def _fwd_c2_kernel(ms, A_ref, B_ref, c_ref, K_ref, kff_ref, dx0_ref,
+                   dx_out, du_out, dxT_out, dx_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        dx_scr[:] = dx0_ref[:]
+
+    for j in range(ms):
+        dx = dx_scr[:]
+        du = _mv(K_ref[j], dx, NUC, NX) + kff_ref[j]
+        dx_out[j] = dx
+        du_out[j] = du
+        dx_scr[:] = (_mv(A_ref[j], dx, NX, NX)
+                     + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
+    dxT_out[:] = dx_scr[:]
+
+
+def _win_specs(ms, block_b, ngrid, reverse):
+    def mk(sp):
+        def idx(b, n):
+            return ((ngrid - 1 - n) if reverse else n,
+                    ) + (0,) * len(sp) + (b,)
+        return pl.BlockSpec((ms,) + sp + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    def const(sp):
+        def idx(b, n):
+            return (0,) * len(sp) + (b,)
+        return pl.BlockSpec(sp + (block_b,), idx, memory_space=pltpu.VMEM)
+    return mk, const
+
+
+def kkt_sweep_c2_win(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
+                     pT_dense_diag, p_term, dx0, block_b: int = 128,
+                     stages_per_step: int = 5, interpret: bool = False):
+    """Windowed equivalent of `kkt_sweep_c2`: backward factorization and
+    forward rollout as two launches with gains streamed through HBM —
+    O(ms) VMEM, so horizons past the fused envelope run single-chip."""
+    M, _, Btot = cbar.shape
+    dtype = cbar.dtype
+    ms = stages_per_step
+    while M % ms != 0:
+        ms -= 1
+    nb = Btot // block_b
+    ngrid = M // ms
+    rev, const = _win_specs(ms, block_b, ngrid, reverse=True)
+    fwd, _ = _win_specs(ms, block_b, ngrid, reverse=False)
+
+    K, kff, L, Pc = pl.pallas_call(
+        _ft.partial(_bwd_c2_kernel, ms),
+        grid=(nb, ngrid),
+        in_specs=[rev((NX, NX)), rev((NX, NUC)), rev((NX,)),
+                  rev((NX, NX)), rev((NU, NX)), rev((NU, NU)),
+                  rev((NX,)), rev((NUC,)), rev((NUC,)),
+                  const((NX,)), const((NX,))],
+        out_specs=(rev((NUC, NX)), rev((NUC,)), rev((NLC,)), rev((NX,))),
+        out_shape=(jax.ShapeDtypeStruct((M, NUC, NX, Btot), dtype),
+                   jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
+                   jax.ShapeDtypeStruct((M, NLC, Btot), dtype),
+                   jax.ShapeDtypeStruct((M, NX, Btot), dtype)),
+        scratch_shapes=[pltpu.VMEM((NX, NX, block_b), dtype),
+                        pltpu.VMEM((NX, block_b), dtype)],
+        interpret=interpret,
+    )(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
+      pT_dense_diag, p_term)
+
+    dxs, dus, dxT = pl.pallas_call(
+        _ft.partial(_fwd_c2_kernel, ms),
+        grid=(nb, ngrid),
+        in_specs=[fwd((NX, NX)), fwd((NX, NUC)), fwd((NX,)),
+                  fwd((NUC, NX)), fwd((NUC,)), const((NX,))],
+        out_specs=(fwd((NX,)), fwd((NUC,)), const((NX,))),
+        out_shape=(jax.ShapeDtypeStruct((M, NX, Btot), dtype),
+                   jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
+                   jax.ShapeDtypeStruct((NX, Btot), dtype)),
+        scratch_shapes=[pltpu.VMEM((NX, block_b), dtype)],
+        interpret=interpret,
+    )(Abar, Bbar, cbar, K, kff, dx0)
+    dx_all = jnp.concatenate([dxs, dxT[None]], axis=0)
+    return K, kff, L, Pc, dx_all, dus
+
+
+def corrector_sweep_c2_win(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term,
+                           dx0, block_b: int = 128,
+                           stages_per_step: int = 5,
+                           interpret: bool = False):
+    """Windowed equivalent of `corrector_sweep_c2` (see kkt_sweep_c2_win)."""
+    M, _, Btot = cbar.shape
+    dtype = cbar.dtype
+    ms = stages_per_step
+    while M % ms != 0:
+        ms -= 1
+    nb = Btot // block_b
+    ngrid = M // ms
+    rev, const = _win_specs(ms, block_b, ngrid, reverse=True)
+    fwd, _ = _win_specs(ms, block_b, ngrid, reverse=False)
+
+    kff = pl.pallas_call(
+        _ft.partial(_bwd_vec_c2_kernel, ms),
+        grid=(nb, ngrid),
+        in_specs=[rev((NX, NX)), rev((NX, NUC)), rev((NX,)),
+                  rev((NUC,)), rev((NUC, NX)), rev((NLC,)), rev((NX,)),
+                  const((NX,))],
+        out_specs=rev((NUC,)),
+        out_shape=jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
+        scratch_shapes=[pltpu.VMEM((NX, block_b), dtype)],
+        interpret=interpret,
+    )(Abar, Bbar, qx, ru, K, L, Pc, p_term)
+
+    dxs, dus, dxT = pl.pallas_call(
+        _ft.partial(_fwd_c2_kernel, ms),
+        grid=(nb, ngrid),
+        in_specs=[fwd((NX, NX)), fwd((NX, NUC)), fwd((NX,)),
+                  fwd((NUC, NX)), fwd((NUC,)), const((NX,))],
+        out_specs=(fwd((NX,)), fwd((NUC,)), const((NX,))),
+        out_shape=(jax.ShapeDtypeStruct((M, NX, Btot), dtype),
+                   jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
+                   jax.ShapeDtypeStruct((NX, Btot), dtype)),
+        scratch_shapes=[pltpu.VMEM((NX, block_b), dtype)],
+        interpret=interpret,
+    )(Abar, Bbar, cbar, K, kff, dx0)
+    dx_all = jnp.concatenate([dxs, dxT[None]], axis=0)
+    return dx_all, dus
+
+
+# ---------------------------------------------------------------------------
 # whole-IPM-iteration kernel: ONE launch per Mehrotra iteration
 # ---------------------------------------------------------------------------
 #
