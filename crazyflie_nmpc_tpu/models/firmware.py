@@ -49,14 +49,30 @@ from crazyflie_nmpc_tpu.ops.integrators import rk4_step
 @dataclasses.dataclass(frozen=True)
 class AttitudeGains:
     """Inner-loop gains [1/s].  Defaults give ~100 ms attitude / ~25 ms
-    rate time constants — the regime of the stock firmware cascade."""
+    rate time constants — the regime of the stock firmware cascade.
+
+    kd_rate/tau_m model the two firmware details the round-2 envelope
+    measurement named as missing (tests/test_estimator_fidelity.py):
+      kd_rate [s]: rate-loop derivative term — the angular-acceleration
+        damping the firmware's rate PID D term provides.  The demanded
+        angular acceleration becomes
+        kp_rate*(rate_sp - omega) - kd_rate*omega_dot.
+      tau_m [s]: first-order motor lag (brushed coreless motors respond
+        with tau ~ 10-25 ms); 0.0 = instantaneous rotors (the round-2
+        model).  With tau_m > 0 the plant carries the actual rotor
+        speeds as persistent state across control ticks
+        (`attitude_plant_step` motor state).
+    """
 
     kp_att: Any = 10.0
     kp_rate: Any = 40.0
+    kd_rate: Any = 0.0
+    tau_m: Any = 0.0
 
 
 def mix_cmd_vel(params: QuadrotorParams, gains: AttitudeGains,
-                x: jax.Array, cmd: jax.Array) -> jax.Array:
+                x: jax.Array, cmd: jax.Array,
+                omega_dot=None) -> jax.Array:
     """One cascade evaluation: (state, cmd_vel) -> rotor speeds [kRPM].
 
     cmd layout (the wire contract, README.md:104-110):
@@ -82,9 +98,13 @@ def mix_cmd_vel(params: QuadrotorParams, gains: AttitudeGains,
     rate_sp_y = gains.kp_att * (-rotations.deg2rad(cmd[1]) - beta)
     rate_sp_z = rotations.deg2rad(cmd[2])
 
-    wdot_x = gains.kp_rate * (rate_sp_x - wx)
-    wdot_y = gains.kp_rate * (rate_sp_y - wy)
-    wdot_z = gains.kp_rate * (rate_sp_z - wz)
+    # rate-loop D term: damp the measured angular acceleration (the
+    # firmware rate PID's derivative action)
+    dwx, dwy, dwz = ((0.0, 0.0, 0.0) if omega_dot is None
+                     else (omega_dot[0], omega_dot[1], omega_dot[2]))
+    wdot_x = gains.kp_rate * (rate_sp_x - wx) - gains.kd_rate * dwx
+    wdot_y = gains.kp_rate * (rate_sp_y - wy) - gains.kd_rate * dwy
+    wdot_z = gains.kp_rate * (rate_sp_z - wz) - gains.kd_rate * dwz
 
     Ctl = params.Ct * params.l
     mx = -params.Ixx * wdot_x / Ctl
@@ -102,18 +122,62 @@ def mix_cmd_vel(params: QuadrotorParams, gains: AttitudeGains,
     return jnp.clip(w, 0.0, W_MAX_KRPM)
 
 
+def init_motor_state(params: QuadrotorParams, x: jax.Array,
+                     u0: jax.Array | None = None):
+    """Motor-lag plant state: (actual rotor speeds [kRPM], previous body
+    rates) — carried across control ticks by `attitude_plant_step`.
+    u0 defaults to the hover speed."""
+    if u0 is None:
+        from crazyflie_nmpc_tpu.models.quadrotor import hover_control
+        u0 = hover_control(params, x.dtype)
+    return (jnp.broadcast_to(u0, (NU,)).astype(x.dtype), x[10:13])
+
+
 def attitude_plant_step(params: QuadrotorParams, x: jax.Array,
                         cmd: jax.Array, dt, substeps: int = 10,
-                        gains: AttitudeGains = AttitudeGains()):
+                        gains: AttitudeGains = AttitudeGains(),
+                        motor=None):
     """Advance the attitude-loop plant one control period under a held
     cmd_vel command.  The inner cascade re-evaluates every RK4 substep
     (substeps=10 at dt=15 ms ~ a 667 Hz inner loop; the firmware runs
-    500 Hz).  Returns (x_next, last rotor command [kRPM])."""
+    500 Hz).
+
+    motor: optional `init_motor_state` tuple (w_act, omega_prev).  With
+    gains.tau_m > 0 the rotors respond first-order toward the mixer
+    command (exact exponential update per substep) and the physics sees
+    the ACTUAL speeds; omega_prev supplies the rate-D term's
+    angular-acceleration estimate.  None initializes both from (hover,
+    current rates) — callers that model motor lag must thread the state
+    across ticks or the lag resets every period.
+
+    Returns (x_next, last ACTUAL rotor speeds [kRPM], motor')."""
     sub_dt = dt / substeps
+    if motor is None:
+        motor = init_motor_state(params, x)
 
-    def inner(xc, _):
-        u = mix_cmd_vel(params, gains, xc, cmd)
-        return rk4_step(dynamics, params, xc, u, sub_dt), u
+    with_lag = _nonzero(gains.tau_m)
+    lag = jnp.exp(-sub_dt / gains.tau_m) if with_lag else 0.0
 
-    x_next, us = jax.lax.scan(inner, x, None, length=substeps)
-    return x_next, us[-1]
+    def inner(carry, _):
+        xc, w_act, omega_prev = carry
+        omega_dot = (xc[10:13] - omega_prev) / sub_dt
+        u_cmd = mix_cmd_vel(params, gains, xc, cmd, omega_dot=omega_dot)
+        if with_lag:
+            # first-order motor response, integrated exactly over the
+            # substep; the physics sees the midpoint of the segment
+            w_next = u_cmd + (w_act - u_cmd) * lag
+            u_eff = jnp.clip(0.5 * (w_act + w_next), 0.0, W_MAX_KRPM)
+        else:
+            w_next = u_cmd
+            u_eff = u_cmd
+        x_next = rk4_step(dynamics, params, xc, u_eff, sub_dt)
+        return (x_next, w_next, xc[10:13]), u_eff
+
+    (x_next, w_act, omega_prev), us = jax.lax.scan(
+        inner, (x, *motor), None, length=substeps)
+    return x_next, us[-1], (w_act, omega_prev)
+
+
+def _nonzero(v) -> bool:
+    """Static check for a trace-free zero default (Python float 0.0)."""
+    return not (isinstance(v, (int, float)) and v == 0.0)

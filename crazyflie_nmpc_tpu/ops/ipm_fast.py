@@ -104,13 +104,30 @@ def _c2_vmem_clamp(M: int, block_b: int, stages_per_step: int,
     return ms
 
 
+def _c2_win_clamp(M: int, block_b: int, stages_per_step: int):
+    """Stage blocking for the WINDOWED c2 sweeps: VMEM is O(ms) only (the
+    gains stream through HBM), so the clamp is just the per-grid-step
+    window against the same 12.7 MB budget used by `_c2_vmem_clamp`."""
+    BUDGET = int(12.7 * 1024 * 1024)
+    WINDOW = 2400  # padded floats per stage-pair of grid window
+
+    def fits(ms):
+        return 4 * block_b * WINDOW * ms <= BUDGET
+
+    ms = max(1, stages_per_step)
+    while ms > 1 and (M % ms != 0 or not fits(ms)):
+        ms -= 1
+    return ms
+
+
 def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
                   block_b: int = 128, stages_per_step: int = 1,
                   interpret: bool = False,
                   fused: bool = True,
                   lam0_l=None, lam0_u=None,
                   condense: int = 1,
-                  fused_iter: bool = False) -> BatchSolution:
+                  fused_iter: bool = False,
+                  windowed: bool | None = None) -> BatchSolution:
     """Solve a batch of box-constrained multistage QPs (batch-last layout,
     diagonal cost — see `from_qpdata`).
 
@@ -135,9 +152,17 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
     iteration-starved saturating lanes converge to the exact active-set
     solution (tests/test_certification.py).  stats gains `escalated`
     (number of re-solved lanes).
+
+    windowed (condense=2 only): None (default) auto-selects — the fused
+    two-phase sweeps inside the VMEM envelope, the HBM-windowed split
+    launches (`kkt_sweep_c2_win`) past it, so ANY horizon that fits HBM
+    runs single-chip.  True forces the windowed path (for testing /
+    measurement); False restores the old raise-past-the-envelope
+    behavior.  stats gains `c2_windowed` (0/1).
     """
     sol = _solve_core(qp, config, block_b, stages_per_step, interpret,
-                      fused, lam0_l, lam0_u, condense, fused_iter)
+                      fused, lam0_l, lam0_u, condense, fused_iter,
+                      windowed)
     cap = config.escalate_capacity
     if config.escalate_iters <= 0 or cap <= 0:
         return sol
@@ -161,7 +186,8 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
     def escalate(_):
         sub_qp = {k: v[..., idx] for k, v in qp.items()}
         sub = _solve_core(sub_qp, esc_cfg, sub_bb, stages_per_step,
-                          interpret, fused, None, None, condense)
+                          interpret, fused, None, None, condense,
+                          windowed=windowed)
         stats = dict(sol.stats)
         for k in ("mu", "res_stat", "res_eq"):
             stats[k] = scat(stats[k], sub.stats[k])
@@ -188,7 +214,8 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                 fused: bool = True,
                 lam0_l=None, lam0_u=None,
                 condense: int = 1,
-                fused_iter: bool = False) -> BatchSolution:
+                fused_iter: bool = False,
+                windowed: bool | None = None) -> BatchSolution:
     A, Bm, c = qp["A"], qp["B"], qp["c"]
     qxx, qx, ruu, ru = qp["qxx"], qp["qx"], qp["ruu"], qp["ru"]
     pT_diag, p_T = qp["pT"], qp["p"]
@@ -209,11 +236,25 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         ms_req = max(1, stages_per_step // 2)
         use_iter = fused_iter and fused and config.gondzio_correctors == 0
         clamp_kw = dict(window=2600, gain=240) if use_iter else {}
-        if interpret:
+        use_win = bool(windowed)
+        if interpret and windowed is None:
             ms_c2 = ms_req
+        elif use_win:
+            ms_c2 = ms_req if interpret else _c2_win_clamp(M, block_b,
+                                                           ms_req)
         else:
-            ms_c2 = _c2_vmem_clamp(M, block_b, ms_req, **clamp_kw)
-            if ms_c2 < ms_req:
+            try:
+                ms_c2 = _c2_vmem_clamp(M, block_b, ms_req, **clamp_kw)
+            except ValueError:
+                if windowed is False:
+                    raise
+                # past the fused envelope: fall back to the HBM-windowed
+                # split launches — O(ms) VMEM, any HBM-sized horizon runs
+                # single-chip (gains round-trip through HBM, ~25% more
+                # sweep bytes; measured ~1.2x the flat per-stage line)
+                use_win = True
+                ms_c2 = _c2_win_clamp(M, block_b, ms_req)
+            if not use_win and ms_c2 < ms_req:
                 # surface the reduction: a config validated in interpret
                 # mode (no clamp) can silently run with smaller blocking
                 # here — identical results, different performance envelope
@@ -223,6 +264,10 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                     f"(M={M} condensed stages, block_b={block_b}); also "
                     f"reported in stats['c2_stages_per_step']",
                     stacklevel=2)
+        if use_win and use_iter:
+            raise ValueError("fused_iter=True requires the in-VMEM fused "
+                             "c2 sweeps; the horizon is past their "
+                             "envelope (use fused_iter=False)")
         cnd = ck.condense2(A, Bm, c, qxx, qx, ru, block_b=block_b,
                            interpret=interpret)
         # bounds / slacks / duals are per ORIGINAL input; stage-major
@@ -249,6 +294,10 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         # per-50-stages with the clamp; unclamped it VMEM-OOMs)
         kern["stages_per_step"] = ms_c2
     cond2 = condense == 2
+    if cond2:
+        kkt_c2 = ck.kkt_sweep_c2_win if use_win else ck.kkt_sweep_c2
+        corr_c2 = (ck.corrector_sweep_c2_win if use_win
+                   else ck.corrector_sweep_c2)
 
     finite_l = jnp.isfinite(qp["lb"])
     finite_u = jnp.isfinite(qp["ub"])
@@ -298,7 +347,7 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
 
         # ---- predictor: factorization + affine backward + forward rollout
         if cond2:  # dense-cost condensed sweep, one launch
-            K, kff_a, L, Pc, ddx_a, ddu_a = ck.kkt_sweep_c2(
+            K, kff_a, L, Pc, ddx_a, ddu_a = kkt_c2(
                 Abar, Bbar, -r2[1:], Qbar, S1T, R00, r1x[:-1], ruu_shift,
                 rt1u, pT_diag, r1x[-1], -r2[0], **kern)
         elif fused:  # one kernel launch
@@ -341,7 +390,7 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         rt1u_c = (r1u + jnp.where(finite_l, (r5l_c + lam_l * r3) / s_l, 0.0)
                   - jnp.where(finite_u, (r5u_c + lam_u * r4) / s_u, 0.0))
         if cond2:
-            ddx, ddu = ck.corrector_sweep_c2(
+            ddx, ddu = corr_c2(
                 Abar, Bbar, -r2[1:], r1x[:-1], rt1u_c, K, L, Pc, r1x[-1],
                 -r2[0], **kern)
         elif fused:
@@ -397,7 +446,7 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
             # state, independent of the RHS)
             z_Pc = jnp.zeros_like(Pc)
             if cond2:
-                ddx_g, ddu_g = ck.corrector_sweep_c2(
+                ddx_g, ddu_g = corr_c2(
                     Abar, Bbar, z_c, z_qx, rt1u_g, K, L, z_Pc, z_pt,
                     z_dx0, **kern)
             elif fused:
@@ -506,6 +555,7 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
     if cond2:
         # effective (possibly VMEM-clamped) stage blocking of the c2 sweeps
         stats["c2_stages_per_step"] = kern["stages_per_step"]
+        stats["c2_windowed"] = int(use_win)
 
     if cond2:
         # expand: interior states were eliminated exactly through their

@@ -104,6 +104,10 @@ def simulate(spec: OCPSpec, x_init: jax.Array,
       (the controller sees the true plant state).  The estimator chain
       plugs in here (see estimator_in_the_loop).
     """
+    if config.predictor not in ("pending", "last_command"):
+        raise ValueError(
+            f"LoopConfig.predictor must be 'pending' or 'last_command', "
+            f"got {config.predictor!r}")
     d = config.delay_steps
     f = spec.ode()
     uss = spec.steady_input(x_init.dtype)
@@ -230,31 +234,70 @@ def trajectory_tracking(spec: OCPSpec, x_init, traj_table, steps=None,
 def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
                  steps: int = 660, delay_steps: int = 4,
                  config: LoopConfig = LoopConfig(), gains=None,
-                 plant_substeps: int = 10):
+                 plant_substeps: int = 10, meas_delay_steps: int = 0,
+                 predictor: str = "motvel"):
     """The reference's ACTUAL actuation architecture, closed in software:
 
         NMPC (rotor-level internal model, u1/x4 extraction)
           -> to_cmd_vel                      (acados_mpc.cpp:644-670)
-          -> d-tick radio pipe               (60 ms round trip)
+          -> radio pipe                      (actuation leg)
           -> onboard attitude/rate cascade   (models.firmware)
           -> rotor physics
 
     with the reference's OWN delay predictor — one ZOH integration of
-    length d*dt under the last published motvel (u0,
+    length delay_steps*dt under the last published motvel (u0,
     acados_estimator.cpp:573-593).  This is the configuration in which
     the single-last-command scheme is stable: the onboard inner loop
     absorbs the actuation mismatch that destabilizes the raw rotor-speed
     plant (pinned side by side in tests/test_estimator_fidelity.py).
 
+    delay_steps is the TOTAL round-trip delay the predictor compensates
+    (the reference's `delay` rosparam: sensing-to-actuation, 0.06 s = 4
+    ticks at the shipped operating point, acados_predictor.launch:61-63).
+    meas_delay_steps places that round trip physically: the NMPC's
+    measurement is meas_delay_steps ticks stale (mocap processing +
+    stream latency) and the command pipe is the remaining
+    delay_steps - meas_delay_steps ticks (radio + firmware ingest).
+    meas_delay_steps=0 (default) is the all-actuation worst case; the
+    measured stability envelope over this split is pinned in
+    tests/test_estimator_fidelity.py and tabulated in docs/PERF.md.
+
+    predictor selects the single-last-command predictor's PLANT MODEL:
+      "motvel"  — the reference verbatim: ZOH rotor-level integration
+        under the last published acados_motvel (acados_estimator.cpp:
+        578-586).  Faithful to the reference code, but its model omits
+        the onboard cascade: during transients the published rotor plan
+        and the mixer's actual output diverge, and the 60 ms prediction
+        error compounds through the open-loop-unstable attitude
+        dynamics — measured envelope in software: stable through
+        delay_steps=2 across the whole (kp, kd, tau_m) gain grid
+        (tools/firmware_envelope.py; 0/72 configs stable at 4).
+      "cmd_vel" — the same single-last-command scheme with the MODEL-
+        CONSISTENT plant: propagate through the onboard cascade
+        (models.firmware) holding the last emitted cmd_vel — i.e.
+        predict the drone doing what it actually does during the gap:
+        tracking the last attitude command.  The estimator state is
+        still only (measurement, last command); no pipe knowledge.
+        This closes the reference's 60 ms operating point in software
+        (pinned in tests/test_estimator_fidelity.py).
+
     Returns LoopResult: x = true plant states, u = rotor speeds the
     onboard mixer actually produced, u_cmd = the NMPC's published u0.
     """
     from crazyflie_nmpc_tpu.models.firmware import (
-        AttitudeGains, attitude_plant_step)
+        AttitudeGains, attitude_plant_step, init_motor_state)
     from crazyflie_nmpc_tpu.solver.outputs import to_cmd_vel
 
     gains = gains if gains is not None else AttitudeGains()
+    if predictor not in ("motvel", "cmd_vel"):
+        raise ValueError(f"predictor must be 'motvel' or 'cmd_vel', "
+                         f"got {predictor!r}")
     d = delay_steps
+    dm = meas_delay_steps
+    if not 0 <= dm <= d:
+        raise ValueError(f"meas_delay_steps must be in [0, delay_steps], "
+                         f"got {dm} with delay_steps={d}")
+    da = d - dm                      # actuation-leg pipe depth
     f = spec.ode()
     uss = spec.steady_input(x_init.dtype)
     pol0 = policies_mod.regulation_state(setpoint)
@@ -266,17 +309,38 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
 
     hover_cmd = jnp.array(
         [0.0, 0.0, 0.0, krpm2pwm(jnp.mean(uss))], x_init.dtype)
-    cmd_pipe0 = jnp.broadcast_to(hover_cmd, (max(d, 1), 4))
+    cmd_pipe0 = jnp.broadcast_to(hover_cmd, (max(da, 1), 4))
+    x_hist0 = jnp.broadcast_to(x_init, (max(dm, 1),) + x_init.shape)
 
     def tick(carry, _):
-        x_plant, rti_state, pol_state, cmd_pipe, u_prev = carry
+        (x_plant, rti_state, pol_state, cmd_pipe, x_hist, u_prev,
+         cmd_prev, motor) = carry
         yref, yref_e, pol_next = policies_mod.make_yref(
             spec, pol_state, table)
 
-        # the reference predictor: ZOH under the last published motvel
-        x_pred = (integrate(f, spec.params, x_plant, u_prev,
-                            d * spec.dt, max(d, 1) * spec.sim_steps)
-                  if d > 0 else x_plant)
+        # measurement leg: the NMPC sees the dm-tick-stale plant state
+        x_meas = x_hist[0] if dm > 0 else x_plant
+        if dm > 0:
+            x_hist = jnp.concatenate([x_hist[1:dm], x_plant[None]], axis=0)
+
+        # single-last-command predictor over the FULL round trip
+        # (sensing staleness + actuation pipe)
+        if d == 0:
+            x_pred = x_meas
+        elif predictor == "motvel":
+            # the reference verbatim: ZOH rotor-level integration under
+            # the last published motvel (acados_estimator.cpp:573-593)
+            x_pred = integrate(f, spec.params, x_meas, u_prev,
+                               d * spec.dt, max(d, 1) * spec.sim_steps)
+        else:
+            # model-consistent: the drone keeps tracking the last
+            # attitude command through its onboard cascade
+            def pred_body(xc, _):
+                xn, _, _ = attitude_plant_step(
+                    spec.params, xc, cmd_prev, spec.dt,
+                    substeps=plant_substeps, gains=gains)
+                return xn, None
+            x_pred, _ = jax.lax.scan(pred_body, x_meas, None, length=d)
 
         rti_state, out = rti_step(spec, rti_state, x_pred, yref, yref_e,
                                   config.ipm)
@@ -284,21 +348,23 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
         cmd = jnp.stack([tw.roll_deg, tw.pitch_deg, tw.yawrate_deg,
                          tw.thrust_pwm])
 
-        if d > 0:
+        if da > 0:
             cmd_apply = cmd_pipe[0]
-            cmd_pipe = jnp.concatenate([cmd_pipe[1:d], cmd[None]], axis=0)
+            cmd_pipe = jnp.concatenate([cmd_pipe[1:da], cmd[None]], axis=0)
         else:
             cmd_apply = cmd
 
-        x_next, u_rotor = attitude_plant_step(
+        x_next, u_rotor, motor = attitude_plant_step(
             spec.params, x_plant, cmd_apply, spec.dt,
-            substeps=plant_substeps, gains=gains)
+            substeps=plant_substeps, gains=gains, motor=motor)
 
-        carry = (x_next, rti_state, pol_next, cmd_pipe, out.u0)
+        carry = (x_next, rti_state, pol_next, cmd_pipe, x_hist, out.u0,
+                 cmd, motor)
         outs = (x_plant, u_rotor, out.u0, out.kkt_res, pol_state.mode)
         return carry, outs
 
-    carry0 = (x_init, rti0, pol0, cmd_pipe0, uss)
+    carry0 = (x_init, rti0, pol0, cmd_pipe0, x_hist0, uss, hover_cmd,
+              init_motor_state(spec.params, x_init))
     _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
         tick, carry0, None, length=steps)
     return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,

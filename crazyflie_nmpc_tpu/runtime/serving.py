@@ -194,11 +194,17 @@ class ServingLoop:
     def __init__(self, spec: OCPSpec, ipm_config: IPMConfig = IPMConfig(),
                  serve: ServeConfig = ServeConfig(), batch: int = 1,
                  use_fused: Optional[bool] = None, block_b: int = 128,
-                 stages_per_step: int = 25):
+                 stages_per_step: int = 25, predict_gap: bool = True):
+        """predict_gap=False disables the pipeline-gap anchor prediction
+        (solves run from the raw, depth-stale state) — the ablation arm
+        of the delay-compensation claim: at depth > 0 on the rotor-level
+        plant the un-predicted loop diverges while the default converges
+        (pinned in tests/test_serving.py).  No effect at depth 0."""
         self.spec = spec
         self.serve = serve
         self.batch = batch
-        d = serve.pipeline_depth
+        self.predict_gap = predict_gap
+        d = serve.pipeline_depth if predict_gap else 0
         if spec.N < 5:
             raise ValueError("the reference command extraction (u1, x4 = "
                              "+60 ms, acados_mpc.cpp:619-625) needs N >= 5")
@@ -218,9 +224,10 @@ class ServingLoop:
             return x0s
 
         if use_fused:
-            # fused Pallas path wants >= one lane tile of batch; pad and
-            # mask (padded lanes solve the same problem, discarded on exit)
-            self._lanes = max(batch, block_b)
+            # fused Pallas path wants the lane count divisible by the
+            # batch block; pad up to the next multiple and mask (padded
+            # lanes solve real problems, discarded on exit)
+            self._lanes = block_b * (-(-batch // block_b))
             kw = dict(config=ipm_config, block_b=block_b,
                       stages_per_step=stages_per_step, layout="batch_last")
 

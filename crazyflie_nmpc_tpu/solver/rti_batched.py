@@ -45,7 +45,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      fused_prep: bool = True,
                      prep_stages_per_step: int = 5,
                      condense: int | None = None,
-                     layout: str = "batch_first"):
+                     layout: str = "batch_first",
+                     windowed: bool | None = None):
     """One RTI iteration for a batch of problems.
 
     Args:
@@ -160,7 +161,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                                  block_b=block_b,
                                  stages_per_step=stages_per_step,
                                  interpret=interpret,
-                                 condense=condense)
+                                 condense=condense,
+                                 windowed=windowed)
 
     x_traj_bl = x_bl + sol.dx
     u_traj_bl = u_bl + sol.du

@@ -33,3 +33,22 @@ from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 setup_compilation_cache()
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_footprint():
+    """Drop JAX's in-memory executable/tracing caches after every module.
+
+    The suite compiles hundreds of distinct XLA:CPU programs (several at
+    f64, N up to 400); with all executables held live in one process the
+    cumulative footprint eventually segfaults the XLA:CPU compiler on
+    this jaxlib (observed in rounds 1-2 at ~163/177 tests — the crash
+    site moves with test order, the cause is suite-global).  Clearing
+    per module bounds the live-executable set to one module's worth;
+    the persistent on-disk compilation cache (setup_compilation_cache
+    above) makes any re-compile of a shared computation a cheap reload.
+    """
+    yield
+    jax.clear_caches()

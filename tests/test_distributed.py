@@ -75,7 +75,10 @@ def test_two_process_pod_step(tmp_path):
     from crazyflie_nmpc_tpu.models import hover_state
     from crazyflie_nmpc_tpu.solver import rti_step
 
-    jax.config.update("jax_enable_x64", True)
+    # conftest enables x64 suite-wide; re-assert locally without leaking a
+    # changed value into later tests if that ever changes (ADVICE r2)
+    assert jax.config.read("jax_enable_x64"), (
+        "suite conftest is expected to enable x64")
     spec_s = default_ocp(N=8, dtype=jnp.float64)
     yref_s, yref_e_s = hover_yref(spec_s)
     x0_s = hover_state(spec_s.params, pos=(0.1, -0.05, 0.3))

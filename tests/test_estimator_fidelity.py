@@ -76,11 +76,20 @@ def test_last_command_predictor_stable_with_onboard_attitude_loop():
     under the same scheme diverges (fact 1 shows it at 60 ms; at 30 ms
     on the rotor plant the worst transient already exceeds meters).
 
-    Measured envelope of this software cascade (kp_att=10, kp_rate=40,
-    no motor lag model): stable through delay_steps=2, unstable at >=3 —
-    the paper's 60 ms hardware margin relies on firmware details (rate-D
-    term, motor response) outside this model, so the pin stays at the
-    envelope actually measured."""
+    Measured envelope of the LITERAL rotor-level predictor (ZOH under
+    the last published motvel, acados_estimator.cpp:578-586): stable
+    through delay_steps=2, unstable at >=3 — and adding the rate-D term
+    and first-order motor lag the round-2 verdict named does NOT extend
+    it (0/72 gain configs stable at 60 ms across kp_att 4-16,
+    kp_rate 20-70, kd 0-0.15, tau_m 0-15 ms; 0/81 at 45 ms across
+    kp_att 10-24, kp_rate 40-120, kd 0-0.3, tau_m 0-20 ms;
+    tools/firmware_envelope.py).  The predictor's rotor-level model is
+    the boundary, not the cascade gains: during transients the
+    published rotor plan and the onboard mixer's actual output diverge,
+    and the 60 ms prediction error compounds through the open-loop-
+    unstable attitude dynamics.  The 60 ms point closes with the
+    model-consistent predictor instead
+    (test_cmd_vel_predictor_closes_60ms)."""
     spec = _spec()
     x0 = hover_state(spec.params, pos=START, dtype=jnp.float64)
     for d in (1, 2):
@@ -90,6 +99,32 @@ def test_last_command_predictor_stable_with_onboard_attitude_loop():
         assert np.all(np.isfinite(e))
         assert e[-1].max() < 0.05, f"d={d}: final error {e[-1]}"
         # rotor commands the onboard mixer produced stay in the envelope
+        u = np.asarray(res.u)
+        assert u.min() >= 0.0 and u.max() <= 22.0
+
+
+def test_cmd_vel_predictor_closes_60ms():
+    """The reference's shipped 60 ms operating point
+    (acados_predictor.launch:61-63, delay_steps=4), closed in software:
+    the SAME single-last-command predictor scheme with the MODEL-
+    CONSISTENT plant — the estimator propagates the measurement through
+    the onboard cascade holding the last emitted cmd_vel (the drone
+    keeps tracking its last attitude command), still using only
+    (measurement, last command) as estimator state.  Stable at 60 ms
+    from the same 15 cm offset that diverges under the rotor-level
+    predictor (0/72 gain configs, see the companion test), with margin:
+    also stable at 90 ms (d=6).  The split of the round trip between
+    measurement staleness and actuation pipe does not matter (dm=2/da=2
+    pinned alongside dm=0/da=4)."""
+    spec = _spec()
+    x0 = hover_state(spec.params, pos=START, dtype=jnp.float64)
+    for d, dm in ((4, 0), (4, 2), (6, 0)):
+        res = cmd_vel_loop(spec, x0, SETPOINT, steps=400, delay_steps=d,
+                           meas_delay_steps=dm, predictor="cmd_vel",
+                           config=LoopConfig(ipm=IPMConfig(iters=10)))
+        e = _pos_err(res)
+        assert np.all(np.isfinite(e)), f"d={d} dm={dm}"
+        assert e[-1].max() < 0.02, f"d={d} dm={dm}: final error {e[-1]}"
         u = np.asarray(res.u)
         assert u.min() >= 0.0 and u.max() <= 22.0
 

@@ -526,3 +526,47 @@ def test_ipm_fast_gondzio_matches_ipm():
         q, ipm.IPMConfig(iters=5)))(batched)
     assert float(jnp.median(ref.stats["mu"])) < float(
         jnp.median(plain.stats["mu"]))
+
+
+def test_ipm_fast_windowed_matches_fused():
+    """The HBM-windowed c2 sweeps (the long-horizon fallback past the
+    fused VMEM envelope, ipm_fast `windowed=True`) vs the in-VMEM fused
+    path: identical Riccati algebra split into separate backward/forward
+    launches, so the IPM trajectories must agree to f32 rounding — with
+    and without Gondzio correctors (both corrector call sites)."""
+    keys = jax.random.split(jax.random.PRNGKey(13), B)
+    qps = []
+    for k in keys:
+        diag, dense = random_diag_lq(k)
+        _, du_ref = riccati.solve_lq(
+            A=dense["A"], B=dense["B"], c=dense["c"], Qxx=dense["Qxx"],
+            qx=dense["qx"], Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+            P_term=dense["P_term"], p_term=dense["p_term"],
+            dx0=dense["dx0"])
+        lim = 0.5 * float(jnp.max(jnp.abs(du_ref)))
+        qps.append(QPData(A=dense["A"], B=dense["B"], c=dense["c"],
+                          Qxx=dense["Qxx"], qx=dense["qx"],
+                          Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+                          P=dense["P_term"], p=dense["p_term"],
+                          lb=jnp.full((N, NUD), -lim),
+                          ub=jnp.full((N, NUD), lim), dx0=dense["dx0"]))
+    batched = jax.tree.map(
+        lambda *xs: jnp.stack(xs).astype(jnp.float32), *qps)
+
+    for cfg in (ipm.IPMConfig(iters=8),
+                ipm.IPMConfig(iters=5, gondzio_correctors=1)):
+        base = ipm_fast.solve_batched(ipm_fast.from_qpdata(batched), cfg,
+                                      condense=2, **KERN)
+        win = ipm_fast.solve_batched(ipm_fast.from_qpdata(batched), cfg,
+                                     condense=2, windowed=True, **KERN)
+        assert int(win.stats["c2_windowed"]) == 1
+        assert int(base.stats["c2_windowed"]) == 0
+        np.testing.assert_allclose(np.asarray(win.du),
+                                   np.asarray(base.du),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(win.dx),
+                                   np.asarray(base.dx),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(win.lam_l),
+                                   np.asarray(base.lam_l),
+                                   rtol=2e-5, atol=2e-5)
