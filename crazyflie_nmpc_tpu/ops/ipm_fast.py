@@ -216,16 +216,25 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                 condense: int = 1,
                 fused_iter: bool = False,
                 windowed: bool | None = None) -> BatchSolution:
-    A, Bm, c = qp["A"], qp["B"], qp["c"]
-    qxx, qx, ruu, ru = qp["qxx"], qp["qx"], qp["ruu"], qp["ru"]
+    # precondensed input (rti_step_batched's fused prep+condense launch,
+    # prep_kernel.prep_condense2): the condensed arrays arrive under
+    # "c2*" keys and the full-horizon A/B were never materialized —
+    # A/B/qxx/qx/ru are absent, Ae/Be carry the even-stage expansion data
+    precond = "c2Abar" in qp
+    A, Bm = qp.get("A"), qp.get("B")
+    c = qp["c"]
+    qxx, qx = qp.get("qxx"), qp.get("qx")
+    ruu, ru = qp["ruu"], qp.get("ru")
     pT_diag, p_T = qp["pT"], qp["p"]
-    N, nu, B = ru.shape
+    N, nu, B = ruu.shape
     nx = c.shape[1]
     dtype = c.dtype
 
     kern = dict(block_b=block_b, stages_per_step=stages_per_step,
                 interpret=interpret)
 
+    if precond and condense != 2:
+        raise ValueError("precondensed (c2*) QP data requires condense=2")
     if condense == 2:
         if not fused:
             raise ValueError("condense=2 requires the fused kernel path")
@@ -268,8 +277,15 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
             raise ValueError("fused_iter=True requires the in-VMEM fused "
                              "c2 sweeps; the horizon is past their "
                              "envelope (use fused_iter=False)")
-        cnd = ck.condense2(A, Bm, c, qxx, qx, ru, block_b=block_b,
-                           interpret=interpret)
+        if precond:
+            cnd = {k[2:]: qp[k] for k in
+                   ("c2Abar", "c2Bbar", "c2cbar", "c2Qbar", "c2S1T",
+                    "c2R00", "c2qbar", "c2rbar")}
+            exp_A, exp_B, exp_even = qp["c2Ae"], qp["c2Be"], True
+        else:
+            cnd = ck.condense2(A, Bm, c, qxx, qx, ru, block_b=block_b,
+                               interpret=interpret)
+            exp_A, exp_B, exp_even = A, Bm, False
         # bounds / slacks / duals are per ORIGINAL input; stage-major
         # layout makes the condensed stacking a pure reshape
         resh = lambda z: z.reshape(M, 2 * nu, B)
@@ -279,7 +295,7 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
             lam0_l, lam0_u = resh(lam0_l), resh(lam0_u)
         ruu_c = resh(ruu)
         N_orig, nu_orig = N, nu
-        A_orig, B_orig, c_orig = A, Bm, c
+        c_orig = c
         N, nu = M, 2 * nu
         ru = cnd["rbar"]
         qx = cnd["qbar"]
@@ -562,10 +578,10 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         # dynamics row; recover them once (not per iteration)
         du_pairs = z_du                                  # (M, 8, B)
         dx_even = z_dx[:-1]                              # (M, 13, B)
-        dx_odd = ck.expand2(A_orig, B_orig, c_orig, dx_even,
+        dx_odd = ck.expand2(exp_A, exp_B, c_orig, dx_even,
                             du_pairs[:, :nu_orig], block_b=block_b,
                             stages_per_step=kern["stages_per_step"],
-                            interpret=interpret)
+                            interpret=interpret, even_only=exp_even)
         dx_full = jnp.concatenate([
             jnp.stack([dx_even, dx_odd], axis=1).reshape(
                 N_orig, dx_even.shape[1], B),

@@ -215,24 +215,30 @@ def condense2(A, B, c, qxx, qx, ru, block_b: int = 128,
 # interior-state expansion (embarrassingly parallel over pairs)
 # ---------------------------------------------------------------------------
 
-def _expand2_kernel(ms, A_ref, B_ref, c_ref, dxe_ref, du_ref, dxo_out):
-    # A/B/c blocks cover both stages of each pair (2ms); only the even
-    # (first-of-pair) rows drive the eliminated state's dynamics row
+def _expand2_kernel(ms, stride, A_ref, B_ref, c_ref, dxe_ref, du_ref,
+                    dxo_out):
+    # stride=2: A/B/c blocks cover both stages of each pair (2ms rows);
+    # only the even (first-of-pair) rows drive the eliminated state's
+    # dynamics row.  stride=1: A/B already even-only (prep_condense2).
     for j in range(ms):
-        dxo_out[j] = (_mv(A_ref[2 * j], dxe_ref[j], NX, NX)
-                      + _mv(B_ref[2 * j], du_ref[j], NX, NU)
+        dxo_out[j] = (_mv(A_ref[stride * j], dxe_ref[j], NX, NX)
+                      + _mv(B_ref[stride * j], du_ref[j], NX, NU)
                       + c_ref[2 * j])
 
 
 def expand2(A, B, c, dx_even, du0, block_b: int = 128,
-            stages_per_step: int = 5, interpret: bool = False):
+            stages_per_step: int = 5, interpret: bool = False,
+            even_only: bool = False):
     """Recover the eliminated odd states through their dynamics row:
     dx_odd[k] = A[2k] dx_even[k] + B[2k] du0[k] + c[2k].
 
-    A/B/c are the ORIGINAL (N-stage, batch-last) data; dx_even (M,13,·) and
-    du0 (M,4,·) the condensed solution's states and first-of-pair inputs.
-    One VPU launch replaces the XLA batched-einsum path (which runs tiny
-    per-lane matvecs at a fraction of the bandwidth bound).
+    A/B are the ORIGINAL (N-stage, batch-last) data — or, with
+    even_only=True, just the even (first-of-pair) stages (M-major, the
+    `prep_condense2` outputs).  c is always the full N-stage defect;
+    dx_even (M,13,·) and du0 (M,4,·) are the condensed solution's states
+    and first-of-pair inputs.  One VPU launch replaces the XLA
+    batched-einsum path (which runs tiny per-lane matvecs at a fraction
+    of the bandwidth bound).
     """
     N, _, Btot = c.shape
     M = N // 2
@@ -241,22 +247,22 @@ def expand2(A, B, c, dx_even, du0, block_b: int = 128,
         ms -= 1
     nb = Btot // block_b
     ngrid = M // ms
+    stride = 1 if even_only else 2
 
-    def spec_in(sp, pair_rows):
-        rows = 2 * ms if pair_rows else ms
-
+    def spec_in(sp, rows):
         def idx(b, n):
             return (n,) + (0,) * len(sp) + (b,)
         return pl.BlockSpec((rows,) + sp + (block_b,), idx,
                             memory_space=pltpu.VMEM)
 
+    ab_rows = ms if even_only else 2 * ms
     dxo = pl.pallas_call(
-        _ft.partial(_expand2_kernel, ms),
+        _ft.partial(_expand2_kernel, ms, stride),
         grid=(nb, ngrid),
-        in_specs=[spec_in((NX, NX), True), spec_in((NX, NU), True),
-                  spec_in((NX,), True), spec_in((NX,), False),
-                  spec_in((NU,), False)],
-        out_specs=spec_in((NX,), False),
+        in_specs=[spec_in((NX, NX), ab_rows), spec_in((NX, NU), ab_rows),
+                  spec_in((NX,), 2 * ms), spec_in((NX,), ms),
+                  spec_in((NU,), ms)],
+        out_specs=spec_in((NX,), ms),
         out_shape=jax.ShapeDtypeStruct((M, NX, Btot), c.dtype),
         interpret=interpret,
     )(A, B, c, dx_even, du0)

@@ -153,7 +153,7 @@ def _ju_rows(p, u):
 
 
 def _jx_mul(J, S):
-    """Sparse J (dict) @ dense S (13, m, B) -> (13, m, B)."""
+    """Sparse J (dict) @ dense S (13, m, *batch) -> (13, m, *batch)."""
     zero = jnp.zeros_like(S[0])
     rows = []
     for i in range(NX):
@@ -168,17 +168,17 @@ def _jx_mul(J, S):
     return jnp.stack(rows)
 
 
-def _jx_dense(J, dtype, B):
-    """Materialize the sparse Jacobian as (13, 13, B)."""
-    zero = jnp.zeros((B,), dtype)
+def _jx_dense(J, dtype, bshape):
+    """Materialize the sparse Jacobian as (13, 13, *batch)."""
+    zero = jnp.zeros(bshape, dtype)
     return jnp.stack([
         jnp.stack([J.get((i, j), zero) + zero for j in range(NX)])
         for i in range(NX)
     ])
 
 
-def _ju_dense(Ju_rows, dtype, B):
-    zero = jnp.zeros((B,), dtype)
+def _ju_dense(Ju_rows, dtype, bshape):
+    zero = jnp.zeros(bshape, dtype)
     return jnp.stack([
         jnp.stack([dict(Ju_rows.get(i, ())).get(j, zero) + zero
                    for j in range(NU)])
@@ -192,42 +192,18 @@ def _prep_kernel(ns, x_ref, xn_ref, u_ref, yref_ref,
     p = p_ref[:]
     dt = p[8]
     dtype = p.dtype
-    Bb = p.shape[-1]
-    eye = jnp.eye(NX, dtype=dtype)[:, :, None]
+    bshape = p.shape[1:]        # (B,) or (bs, 128) for the 2D batch tile
+    # identity at full rank (Mosaic cannot shape-cast 13x13 -> 13x13x1x1)
+    eshape = (NX, NX) + (1,) * len(bshape)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, eshape, 0)
+           == jax.lax.broadcasted_iota(jnp.int32, eshape, 1)).astype(dtype)
 
     for j in range(ns):
         x = x_ref[j]          # (13, B)
         u = u_ref[j]          # (4, B)
 
         # ---- RK4 with the closed-form matrix VDE (sparse Jacobians)
-        k1 = jnp.stack(_dyn_rows(p, x, u))
-        J1 = _jx_entries(p, x)
-        x2 = x + 0.5 * dt * k1
-        k2 = jnp.stack(_dyn_rows(p, x2, u))
-        J2 = _jx_entries(p, x2)
-        x3 = x + 0.5 * dt * k2
-        k3 = jnp.stack(_dyn_rows(p, x3, u))
-        J3 = _jx_entries(p, x3)
-        x4 = x + dt * k3
-        k4 = jnp.stack(_dyn_rows(p, x4, u))
-        J4 = _jx_entries(p, x4)
-
-        K1 = _jx_dense(J1, dtype, Bb)
-        K2 = _jx_mul(J2, eye + 0.5 * dt * K1)
-        K3 = _jx_mul(J3, eye + 0.5 * dt * K2)
-        K4 = _jx_mul(J4, eye + dt * K3)
-        A = eye + (dt / 6.0) * (K1 + 2 * K2 + 2 * K3 + K4)
-
-        # df/du is x-independent (rows 9..12 only), so G is shared by all
-        # four stages
-        G = _ju_dense(_ju_rows(p, u), dtype, Bb)
-        M1 = G
-        M2 = G + _jx_mul(J2, 0.5 * dt * M1)
-        M3 = G + _jx_mul(J3, 0.5 * dt * M2)
-        M4 = G + _jx_mul(J4, dt * M3)
-        Bm = (dt / 6.0) * (M1 + 2 * M2 + 2 * M3 + M4)
-
-        x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        A, Bm, x_next = _vde_stage(p, dt, dtype, bshape, eye, x, u)
 
         # ---- QP assembly (diagonal LLS cost, cf. rti_step_batched)
         A_out[j] = A
@@ -239,9 +215,197 @@ def _prep_kernel(ns, x_ref, xn_ref, u_ref, yref_ref,
         ub_out[j] = ubu_ref[:] - u
 
 
+def _vde_stage(p, dt, dtype, bshape, eye, x, u):
+    """One stage of ERK4 + closed-form matrix VDE (shared by both prep
+    kernels).  Returns (A, Bm, x_next)."""
+    k1 = jnp.stack(_dyn_rows(p, x, u))
+    J1 = _jx_entries(p, x)
+    x2 = x + 0.5 * dt * k1
+    k2 = jnp.stack(_dyn_rows(p, x2, u))
+    J2 = _jx_entries(p, x2)
+    x3 = x + 0.5 * dt * k2
+    k3 = jnp.stack(_dyn_rows(p, x3, u))
+    J3 = _jx_entries(p, x3)
+    x4 = x + dt * k3
+    k4 = jnp.stack(_dyn_rows(p, x4, u))
+    J4 = _jx_entries(p, x4)
+
+    K1 = _jx_dense(J1, dtype, bshape)
+    K2 = _jx_mul(J2, eye + 0.5 * dt * K1)
+    K3 = _jx_mul(J3, eye + 0.5 * dt * K2)
+    K4 = _jx_mul(J4, eye + dt * K3)
+    A = eye + (dt / 6.0) * (K1 + 2 * K2 + 2 * K3 + K4)
+
+    G = _ju_dense(_ju_rows(p, u), dtype, bshape)
+    M1 = G
+    M2 = G + _jx_mul(J2, 0.5 * dt * M1)
+    M3 = G + _jx_mul(J3, 0.5 * dt * M2)
+    M4 = G + _jx_mul(J4, dt * M3)
+    Bm = (dt / 6.0) * (M1 + 2 * M2 + 2 * M3 + M4)
+
+    x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return A, Bm, x_next
+
+
+def _prep_c2_kernel(npair, x_ref, xn_ref, u_ref, yref_ref,
+                    qd_ref, rd_ref, lbu_ref, ubu_ref, p_ref,
+                    Ab_out, Bb_out, cb_out, Qb_out, S1T_out, R00_out,
+                    qb_out, rb_out, Ae_out, Be_out, c_out, lb_out, ub_out):
+    from crazyflie_nmpc_tpu.ops.pallas.riccati_kernels import (
+        _add_diag, _mm, _mtm, _mtv, _mv)
+
+    p = p_ref[:]
+    dt = p[8]
+    dtype = p.dtype
+    bshape = p.shape[1:]
+    eshape = (NX, NX) + (1,) * len(bshape)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, eshape, 0)
+           == jax.lax.broadcasted_iota(jnp.int32, eshape, 1)).astype(dtype)
+    qd = qd_ref[:]
+
+    for j in range(npair):
+        e, o = 2 * j, 2 * j + 1
+        A0, B0, x1p = _vde_stage(p, dt, dtype, bshape, eye,
+                                 x_ref[e], u_ref[e])
+        A1, B1, x2p = _vde_stage(p, dt, dtype, bshape, eye,
+                                 x_ref[o], u_ref[o])
+        c0 = x1p - xn_ref[e]
+        c1 = x2p - xn_ref[o]
+        qx0 = qd * (x_ref[e] - yref_ref[e][:NX])
+        qx1 = qd * (x_ref[o] - yref_ref[o][:NX])
+        ru0 = rd_ref[:] * (u_ref[e] - yref_ref[e][NX:])
+        ru1 = rd_ref[:] * (u_ref[o] - yref_ref[o][NX:])
+
+        # condensed dynamics (cf. condensed_kernels._condense2_kernel)
+        Ab_out[j] = _mm(A1, A0, NX, NX, NX)
+        Bb_out[j] = jnp.concatenate([_mm(A1, B0, NX, NX, NU), B1], axis=1)
+        cb_out[j] = _mv(A1, c0, NX, NX) + c1
+
+        # condensed cost (diagonal stage cost q — the rti_batched path)
+        qA = qd[:, None] * A0
+        qB = qd[:, None] * B0
+        Qb_out[j] = _add_diag(_mtm(A0, qA, NX, NX, NX), qd, NX)
+        S1T_out[j] = _mtm(B0, qA, NX, NU, NX)
+        R00_out[j] = _mtm(B0, qB, NX, NU, NU)
+        h = qd * c0 + qx1
+        qb_out[j] = qx0 + _mtv(A0, h, NX, NX)
+        rb_out[j] = jnp.concatenate([ru0 + _mtv(B0, h, NX, NU), ru1],
+                                    axis=0)
+
+        # expansion data (even stages only) + full-horizon c for the
+        # nonlinear-residual report
+        Ae_out[j] = A0
+        Be_out[j] = B0
+        c_out[e] = c0
+        c_out[o] = c1
+        lb_out[e] = lbu_ref[:] - u_ref[e]
+        lb_out[o] = lbu_ref[:] - u_ref[o]
+        ub_out[e] = ubu_ref[:] - u_ref[e]
+        ub_out[o] = ubu_ref[:] - u_ref[o]
+
+
+def prep_condense2(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
+                   block_b: int = 128, pairs_per_step: int = 5,
+                   interpret: bool = False):
+    """Fused RTI preparation + block-2 partial condensing: ONE launch from
+    (x, u, yref) to the condensed QP data.
+
+    Equivalent to `prep_sweep` followed by `condensed_kernels.condense2`
+    (parity-pinned in tests), but the full-horizon A/B Jacobians never
+    leave VMEM — only the M = N/2 condensed stages plus the even-stage
+    expansion data are written, which removes ~320 MB/step of HBM traffic
+    at N=50, B=4096 (the prep->condense write+read round trip).
+
+    Specialized to the uniform diagonal stage cost of the reference OCP
+    (generate_c_code.py:62-107), like the rest of the fused serving path.
+
+    Returns (cnd, Ae, Be, c, lb, ub): `cnd` is the condense2 output dict
+    (Abar/Bbar/cbar/Qbar/S1T/R00/qbar/rbar, all (M, ..., B)); Ae/Be the
+    even-stage Jacobians for interior-state expansion; c the full-horizon
+    defect (N, 13, B); lb/ub the per-original-input bounds (N, 4, B).
+    """
+    N = u_traj.shape[0]
+    Btot = u_traj.shape[-1]
+    dtype = u_traj.dtype
+    if N % 2 != 0:
+        raise ValueError("prep_condense2 needs even N")
+    M = N // 2
+    np_ = pairs_per_step
+    while M % np_ != 0:
+        np_ -= 1
+    if Btot % block_b != 0:
+        raise ValueError(f"batch {Btot} must be divisible by {block_b}")
+    nb = Btot // block_b
+    ngrid = M // np_
+
+    def pair_spec(shape_prefix):    # (M, ...) outputs, np_ rows per step
+        def idx(b, n):
+            return (n,) + (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec((np_,) + shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    def stage_spec(shape_prefix):   # (N, ...) inputs/outputs, 2*np_ rows
+        def idx(b, n):
+            return (n,) + (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec((2 * np_,) + shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    def flat(shape_prefix):
+        def idx(b, n):
+            return (0,) * len(shape_prefix) + (b,)
+        return pl.BlockSpec(shape_prefix + (block_b,), idx,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        stage_spec((NX,)),      # x_k
+        stage_spec((NX,)),      # x_{k+1}
+        stage_spec((NU,)),      # u_k
+        stage_spec((NY,)),      # yref_k
+        flat((NX,)),            # q_diag
+        flat((NU,)),            # r_diag
+        flat((NU,)),            # lbu
+        flat((NU,)),            # ubu
+        flat((NPARAM,)),        # params
+    ]
+    NUC = 2 * NU
+    out_shape = (
+        jax.ShapeDtypeStruct((M, NX, NX, Btot), dtype),   # Abar
+        jax.ShapeDtypeStruct((M, NX, NUC, Btot), dtype),  # Bbar
+        jax.ShapeDtypeStruct((M, NX, Btot), dtype),       # cbar
+        jax.ShapeDtypeStruct((M, NX, NX, Btot), dtype),   # Qbar
+        jax.ShapeDtypeStruct((M, NU, NX, Btot), dtype),   # S1T
+        jax.ShapeDtypeStruct((M, NU, NU, Btot), dtype),   # R00
+        jax.ShapeDtypeStruct((M, NX, Btot), dtype),       # qbar
+        jax.ShapeDtypeStruct((M, NUC, Btot), dtype),      # rbar
+        jax.ShapeDtypeStruct((M, NX, NX, Btot), dtype),   # A even
+        jax.ShapeDtypeStruct((M, NX, NU, Btot), dtype),   # B even
+        jax.ShapeDtypeStruct((N, NX, Btot), dtype),       # c (full)
+        jax.ShapeDtypeStruct((N, NU, Btot), dtype),       # lb
+        jax.ShapeDtypeStruct((N, NU, Btot), dtype),       # ub
+    )
+    out_specs = (pair_spec((NX, NX)), pair_spec((NX, NUC)),
+                 pair_spec((NX,)), pair_spec((NX, NX)),
+                 pair_spec((NU, NX)), pair_spec((NU, NU)),
+                 pair_spec((NX,)), pair_spec((NUC,)),
+                 pair_spec((NX, NX)), pair_spec((NX, NU)),
+                 stage_spec((NX,)), stage_spec((NU,)), stage_spec((NU,)))
+    outs = pl.pallas_call(
+        _ft.partial(_prep_c2_kernel, np_),
+        grid=(nb, ngrid),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_traj[:-1], x_traj[1:], u_traj, yref, q_diag, r_diag, lbu, ubu,
+      params)
+    cnd = dict(Abar=outs[0], Bbar=outs[1], cbar=outs[2], Qbar=outs[3],
+               S1T=outs[4], R00=outs[5], qbar=outs[6], rbar=outs[7])
+    return cnd, outs[8], outs[9], outs[10], outs[11], outs[12]
+
+
 def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
                block_b: int = 128, stages_per_step: int = 5,
-               interpret: bool = False):
+               interpret: bool = False, batch_rows: int | None = None):
     """Fused preparation launch.
 
     Args (batch-last):
@@ -252,6 +416,17 @@ def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
     Returns the per-stage QP arrays (A, B, c, qx, ru, lb, ub), batch-last.
     The (13, B)-sized terminal gradient and dx0 are one XLA op each and
     stay with the caller.
+
+    batch_rows (bs): process the batch as (bs, 128) 2D tiles instead of
+    (block_b,) lane rows — the hypothesis being that the per-channel
+    (B,)-shaped arithmetic is sublane-starved at 1/8 tile occupancy.
+    MEASURED NEGATIVE on v5e (docs/PERF.md): bs=8/16 is within ±2% of
+    the 1D layout both standalone and in the full RTI step — Mosaic's
+    lowering of the 1D lane ops is not the bottleneck.  Kept (with an
+    interpret-mode parity test) as the recorded ablation; default 1.
+    The HBM layout of every input/output is unchanged (pure reshape:
+    the batch axis is contiguous), so downstream kernels are unaffected
+    either way.
     """
     N = u_traj.shape[0]
     Btot = u_traj.shape[-1]
@@ -259,6 +434,12 @@ def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
     ns = stages_per_step
     if N % ns != 0:
         raise ValueError(f"N={N} must be divisible by {ns}")
+    if batch_rows is None:
+        batch_rows = 1
+    if batch_rows > 1:
+        return _prep_sweep_2d(x_traj, u_traj, yref, q_diag, r_diag, lbu,
+                              ubu, params, batch_rows, min(ns, 2),
+                              interpret)
     if Btot % block_b != 0:
         raise ValueError(f"batch {Btot} must be divisible by {block_b}")
     nb = Btot // block_b
@@ -307,3 +488,65 @@ def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
         interpret=interpret,
     )(x_traj[:-1], x_traj[1:], u_traj, yref, q_diag, r_diag, lbu, ubu,
       params)
+
+
+def _prep_sweep_2d(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
+                   bs: int, ns: int, interpret: bool):
+    """2D-batch-tile variant: identical kernel body, batch as (bs, 128).
+
+    All HBM arrays keep their 1D-batch shapes at the boundary — the batch
+    axis is contiguous, so the (…, B) <-> (…, B/128, 128) reshapes are
+    free (no data movement; XLA folds them into the layout).
+    """
+    N = u_traj.shape[0]
+    Btot = u_traj.shape[-1]
+    dtype = u_traj.dtype
+    lanes = bs * 128
+    if Btot % lanes != 0:
+        raise ValueError(f"batch {Btot} must be divisible by {lanes} "
+                         f"(batch_rows={bs})")
+    while N % ns != 0:
+        ns -= 1
+    nb = Btot // lanes
+    ngrid = N // ns
+    b2 = lambda z: z.reshape(z.shape[:-1] + (Btot // 128, 128))
+
+    def spec(shape_prefix):
+        def idx(b, n):
+            return (n,) + (0,) * len(shape_prefix) + (b, 0)
+        return pl.BlockSpec((ns,) + shape_prefix + (bs, 128), idx,
+                            memory_space=pltpu.VMEM)
+
+    def flat(shape_prefix):
+        def idx(b, n):
+            return (0,) * len(shape_prefix) + (b, 0)
+        return pl.BlockSpec(shape_prefix + (bs, 128), idx,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec((NX,)), spec((NX,)), spec((NU,)), spec((NY,)),
+        flat((NX,)), flat((NU,)), flat((NU,)), flat((NU,)),
+        flat((NPARAM,)),
+    ]
+    B2 = Btot // 128
+    out_shape = (
+        jax.ShapeDtypeStruct((N, NX, NX, B2, 128), dtype),
+        jax.ShapeDtypeStruct((N, NX, NU, B2, 128), dtype),
+        jax.ShapeDtypeStruct((N, NX, B2, 128), dtype),
+        jax.ShapeDtypeStruct((N, NX, B2, 128), dtype),
+        jax.ShapeDtypeStruct((N, NU, B2, 128), dtype),
+        jax.ShapeDtypeStruct((N, NU, B2, 128), dtype),
+        jax.ShapeDtypeStruct((N, NU, B2, 128), dtype),
+    )
+    out_specs = (spec((NX, NX)), spec((NX, NU)), spec((NX,)), spec((NX,)),
+                 spec((NU,)), spec((NU,)), spec((NU,)))
+    outs = pl.pallas_call(
+        _ft.partial(_prep_kernel, ns),
+        grid=(nb, ngrid),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(b2(x_traj[:-1]), b2(x_traj[1:]), b2(u_traj), b2(yref), b2(q_diag),
+      b2(r_diag), b2(lbu), b2(ubu), b2(params))
+    return tuple(o.reshape(o.shape[:-2] + (Btot,)) for o in outs)

@@ -43,7 +43,9 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      block_b: int = 128, stages_per_step: int = 1,
                      interpret: bool = False,
                      fused_prep: bool = True,
+                     fused_prep_condense: bool | None = None,
                      prep_stages_per_step: int = 5,
+                     prep_batch_rows: int | None = None,
                      condense: int | None = None,
                      layout: str = "batch_first",
                      windowed: bool | None = None):
@@ -115,21 +117,44 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                                      spec.dt)])
         tile = lambda v, n: jnp.broadcast_to(
             jnp.asarray(v, dtype).reshape(n, 1), (n, B))
-        A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
+        prep_args = (
             x_bl, u_bl, yref_bl,
             tile(q_diag, nx), tile(r_diag, nu),
             tile(jnp.broadcast_to(spec.lbu, (nu,)), nu),
             tile(jnp.broadcast_to(spec.ubu, (nu,)), nu),
-            ptile, block_b=block_b,
-            stages_per_step=prep_stages_per_step, interpret=interpret)
-        qp = dict(
-            A=A_k, B=B_k, c=c_k, qx=qx_k, ru=ru_k, lb=lb_k, ub=ub_k,
-            qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
+            ptile)
+        common = dict(
             ruu=jnp.broadcast_to(r_diag[None, :, None], (N, nu, B)),
             pT=jnp.broadcast_to(pT_diag[:, None], (nx, B)),
             p=p,
             dx0=dx0_bl,
         )
+        if fused_prep_condense is None:
+            fused_prep_condense = (condense == 2
+                                   and prep_batch_rows in (None, 1))
+        if fused_prep_condense and condense != 2:
+            raise ValueError("fused_prep_condense requires condense=2")
+        if fused_prep_condense:
+            # fused prep+condense: the full-horizon A/B Jacobians never
+            # leave VMEM (~320 MB/step less HBM traffic at N=50, B=4096)
+            cnd, Ae, Be, c_k, lb_k, ub_k = pk.prep_condense2(
+                *prep_args, block_b=block_b,
+                pairs_per_step=prep_stages_per_step,
+                interpret=interpret)
+            qp = dict(
+                c=c_k, lb=lb_k, ub=ub_k,
+                c2Ae=Ae, c2Be=Be,
+                **{"c2" + k: v for k, v in cnd.items()},
+                **common)
+        else:
+            A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
+                *prep_args, block_b=block_b,
+                stages_per_step=prep_stages_per_step, interpret=interpret,
+                batch_rows=prep_batch_rows)
+            qp = dict(
+                A=A_k, B=B_k, c=c_k, qx=qx_k, ru=ru_k, lb=lb_k, ub=ub_k,
+                qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),
+                **common)
     else:
         # XLA preparation: stage-parallel jacfwd linearization (general
         # sim_steps path) — runs batch-first under vmap

@@ -280,6 +280,142 @@ def test_prep_kernel_matches_xla_path():
                                np.asarray(blm(spec.ubu - u)), rtol=1e-6)
 
 
+def test_prep_kernel_2d_batch_matches_1d():
+    """The 2D-batch-tile prep variant (batch as (8, 128) VPU tiles — the
+    TPU fast path for B % 1024 == 0) is the same arithmetic per lane as
+    the 1D layout; outputs must agree bitwise-closely."""
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.ops.pallas import prep_kernel as pk
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+
+    Bt = 1024
+    spec = default_ocp(N=4, dtype=jnp.float32)
+    yref, _ = hover_yref(spec)
+    key = jax.random.PRNGKey(11)
+    x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+           + 0.05 * jax.random.normal(key, (Bt, 13), jnp.float32))
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    u = states.u_traj + 0.3 * jax.random.normal(
+        jax.random.fold_in(key, 1), states.u_traj.shape, jnp.float32)
+    blm = lambda z: jnp.moveaxis(z, 0, -1)
+
+    par = spec.params
+    params_tile = jnp.broadcast_to(jnp.array(
+        [par.g0, par.mq, par.Ixx, par.Iyy, par.Izz, par.Cd, par.Ct, par.l,
+         float(spec.dt)], jnp.float32)[:, None], (9, Bt))
+    tile = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, jnp.float32)[:, None], (len(v), Bt))
+    q_diag = jnp.diagonal(spec.cost.W)[:13]
+    r_diag = jnp.diagonal(spec.cost.W)[13:]
+    args = (blm(states.x_traj), blm(u),
+            jnp.broadcast_to(yref[:, :, None], yref.shape + (Bt,)),
+            tile(q_diag), tile(r_diag),
+            jnp.broadcast_to(spec.lbu[:, None], (4, Bt)),
+            jnp.broadcast_to(spec.ubu[:, None], (4, Bt)),
+            params_tile)
+    ref = pk.prep_sweep(*args, block_b=128, stages_per_step=2,
+                        interpret=True, batch_rows=1)
+    out = pk.prep_sweep(*args, block_b=128, stages_per_step=2,
+                        interpret=True, batch_rows=8)
+    for o, r in zip(out, ref):
+        assert o.shape == r.shape
+        # same math, different vector widths — f32 roundoff only
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_prep_condense2_matches_two_launch():
+    """Fused prep+condense (one launch, full-horizon A/B stay in VMEM)
+    == prep_sweep followed by condense2 — exact reorganization."""
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.ops.pallas import condensed_kernels as ck
+    from crazyflie_nmpc_tpu.ops.pallas import prep_kernel as pk
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+
+    Bt = 8
+    spec = default_ocp(N=10, dtype=jnp.float64)
+    yref, _ = hover_yref(spec)
+    key = jax.random.PRNGKey(21)
+    x0s = (hover_state(spec.params, dtype=jnp.float64)[None, :]
+           + 0.05 * jax.random.normal(key, (Bt, 13), jnp.float64))
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    u = states.u_traj + 0.3 * jax.random.normal(
+        jax.random.fold_in(key, 1), states.u_traj.shape, jnp.float64)
+    blm = lambda z: jnp.moveaxis(z, 0, -1)
+
+    par = spec.params
+    params_tile = jnp.broadcast_to(jnp.array(
+        [par.g0, par.mq, par.Ixx, par.Iyy, par.Izz, par.Cd, par.Ct, par.l,
+         float(spec.dt)], jnp.float64)[:, None], (9, Bt))
+    tile = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, jnp.float64)[:, None], (len(v), Bt))
+    q_diag = jnp.diagonal(spec.cost.W)[:13]
+    r_diag = jnp.diagonal(spec.cost.W)[13:]
+    args = (blm(states.x_traj), blm(u),
+            jnp.broadcast_to(yref[:, :, None], yref.shape + (Bt,)),
+            tile(q_diag), tile(r_diag),
+            jnp.broadcast_to(spec.lbu[:, None], (4, Bt)),
+            jnp.broadcast_to(spec.ubu[:, None], (4, Bt)),
+            params_tile)
+
+    A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
+        *args, block_b=Bt, stages_per_step=5, interpret=True)
+    qxx = jnp.broadcast_to(q_diag[None, :, None].astype(jnp.float64),
+                           (10, 13, Bt))
+    cnd_ref = ck.condense2(A_k, B_k, c_k, qxx, qx_k, ru_k, block_b=Bt,
+                           interpret=True)
+
+    cnd, Ae, Be, c2, lb2, ub2 = pk.prep_condense2(
+        *args, block_b=Bt, pairs_per_step=5, interpret=True)
+    for k in cnd_ref:
+        np.testing.assert_allclose(np.asarray(cnd[k]),
+                                   np.asarray(cnd_ref[k]),
+                                   rtol=1e-12, atol=1e-12, err_msg=k)
+    np.testing.assert_allclose(np.asarray(Ae), np.asarray(A_k[0::2]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Be), np.asarray(B_k[0::2]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_k),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lb2), np.asarray(lb_k),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ub2), np.asarray(ub_k),
+                               rtol=1e-12)
+
+
+def test_rti_batched_fused_prep_condense_matches():
+    """End to end: the fused prep+condense production path solves the
+    same problem as the two-launch path (same IPM, same outputs)."""
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+    from crazyflie_nmpc_tpu.solver.rti_batched import (
+        rti_step_batched, to_batch_last)
+
+    Bt = 8
+    spec = default_ocp(N=10, dtype=jnp.float64)
+    yref, yref_e = hover_yref(spec)
+    key = jax.random.PRNGKey(22)
+    x0s = (hover_state(spec.params, dtype=jnp.float64)[None, :]
+           + jnp.concatenate([
+               0.3 * jax.random.normal(key, (Bt, 3), jnp.float64),
+               0.02 * jax.random.normal(key, (Bt, 10), jnp.float64)],
+               axis=1))
+    states = to_batch_last(jax.vmap(lambda x: init_rti(spec, x))(x0s))
+
+    kw = dict(block_b=Bt, stages_per_step=5, interpret=True,
+              layout="batch_last")
+    s1, o1 = rti_step_batched(spec, states, x0s, yref, yref_e,
+                              fused_prep_condense=True, **kw)
+    s2, o2 = rti_step_batched(spec, states, x0s, yref, yref_e,
+                              fused_prep_condense=False, **kw)
+    np.testing.assert_allclose(np.asarray(o1.u_plan), np.asarray(o2.u_plan),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(o1.x_plan), np.asarray(o2.x_plan),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(o1.kkt_res), np.asarray(o2.kkt_res),
+                               rtol=1e-10, atol=1e-10)
+
+
 # ---------------------------------------------------------------------------
 # block-2 partial condensing (the reference's PARTIAL_CONDENSING_HPIPM
 # structure, generate_c_code.py:140) — condensed kernels + solver path

@@ -77,7 +77,15 @@ def study(cfg, label, steps, jump, spec, check_every=1):
                 xt, ut, np.asarray(x, np.float64), np.asarray(yref),
                 np.asarray(yref_e), dt)
             off = (spec.N + 1) * oracle.NX
-            z_ref = oracle.solve_qp_active_set(H, g, E, d, lb, ub, off)
+            try:
+                z_ref = oracle.solve_qp_active_set(H, g, E, d, lb, ub, off)
+            except RuntimeError:
+                # degenerate tick: the oracle's active-set method cycles
+                # (multiple minimizers / ties at the bound) — report, skip
+                print(f"  [tick {t}] oracle active-set cycled "
+                      f"(degenerate QP) — tick skipped")
+                x = plant(x, out.u0)
+                continue
             u_ref = ut + z_ref[off:].reshape(spec.N, oracle.NU)
             x_ref = xt + z_ref[:off].reshape(spec.N + 1, oracle.NX)
 
