@@ -259,10 +259,22 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                     raise
                 # past the fused envelope: fall back to the HBM-windowed
                 # split launches — O(ms) VMEM, any HBM-sized horizon runs
-                # single-chip (gains round-trip through HBM, ~25% more
-                # sweep bytes; measured ~1.2x the flat per-stage line)
+                # single-chip (gains round-trip through HBM; measured
+                # 1.04x the flat per-stage line at N=400 and FLAT through
+                # N=1600, docs/PERF.md horizon table)
                 use_win = True
                 ms_c2 = _c2_win_clamp(M, block_b, ms_req)
+            else:
+                if windowed is None and not use_iter:
+                    # inside the envelope but clamped below the windowed
+                    # blocking: the larger stage block through HBM beats
+                    # the shrunken in-VMEM one (measured: N=256 windowed
+                    # ms=4 runs 17.65 vs clamped ms=2 at 19.33 per-50;
+                    # equal blocking -> in-VMEM wins, keep it)
+                    ms_win = _c2_win_clamp(M, block_b, ms_req)
+                    if ms_c2 < ms_win:
+                        use_win = True
+                        ms_c2 = ms_win
             if not use_win and ms_c2 < ms_req:
                 # surface the reduction: a config validated in interpret
                 # mode (no clamp) can silently run with smaller blocking

@@ -22,15 +22,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=20, warmup=3):
+_RTT = None
+
+
+def _rtt():
+    """Scalar-fetch round trip (drain-proof timing subtracts it —
+    block_until_ready through the tunneled dev chip intermittently
+    returns early; docs/PERF.md 'timing methodology')."""
+    global _RTT
+    if _RTT is None:
+        import jax.numpy as jnp
+        probe = jnp.ones((1024,), jnp.float32)
+        tiny = jax.jit(jnp.max)
+        float(tiny(probe))
+        ts = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            float(tiny(probe))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        _RTT = ts[len(ts) // 2]
+        print(f"scalar-fetch RTT: {_RTT*1e3:.2f} ms (subtracted)")
+    return _RTT
+
+
+def _drain(out):
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.max(jnp.abs(leaf).astype(jnp.float32)))
+
+
+def timeit(fn, *args, iters=20, warmup=3, rounds=5):
+    """Drain-proof: each round ends in a scalar VALUE fetch; the fetch
+    RTT is subtracted; median of rounds."""
+    rtt = _rtt()
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    _drain(out)
+    ds = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _drain(out)
+        ds.append((time.perf_counter() - t0 - rtt) / iters)
+    ds.sort()
+    return ds[len(ds) // 2] * 1e3  # ms
 
 
 def main():
@@ -62,9 +99,25 @@ def main():
             spec, s, x, yref, yref_e, cfg, block_b=128,
             stages_per_step=args.sps, layout="batch_last"))
 
+    def timeit_chained_step(f, iters=20, rounds=5):
+        """Chained (each step consumes the previous state) + drained."""
+        rtt = _rtt()
+        s, out = f(states, x0s)
+        _drain(out)
+        ds = []
+        for _ in range(rounds):
+            s = states
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s, out = f(s, x0s)
+            _drain(out)
+            ds.append((time.perf_counter() - t0 - rtt) / iters)
+        ds.sort()
+        return ds[len(ds) // 2] * 1e3
+
     ts = {}
     for it in (0, 1, 8):
-        ts[it] = timeit(step_fn(it), states, x0s, iters=10)
+        ts[it] = timeit_chained_step(step_fn(it))
         print(f"full step, iters={it}: {ts[it]:.3f} ms")
     per_iter = (ts[8] - ts[1]) / 7.0
     print(f"-> per-IPM-iteration: {per_iter:.3f} ms; fixed (iters=0 "
