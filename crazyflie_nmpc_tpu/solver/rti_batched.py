@@ -48,7 +48,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      prep_batch_rows: int | None = None,
                      condense: int | None = None,
                      layout: str = "batch_first",
-                     windowed: bool | None = None):
+                     windowed: bool | None = None,
+                     fused_iter: bool = False):
     """One RTI iteration for a batch of problems.
 
     Args:
@@ -187,7 +188,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                                  stages_per_step=stages_per_step,
                                  interpret=interpret,
                                  condense=condense,
-                                 windowed=windowed)
+                                 windowed=windowed,
+                                 fused_iter=fused_iter)
 
     x_traj_bl = x_bl + sol.dx
     u_traj_bl = u_bl + sol.du
