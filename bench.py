@@ -126,7 +126,7 @@ def main():
 
     rtt = None
     best = 0.0
-    sweep = [1024, 4096, 8192] if on_tpu else [8]
+    sweep = [1024, 2048, 4096, 8192] if on_tpu else [8]
     for B in sweep:
         step = make_step(block_b=min(128, B), interpret=not on_tpu)
         states, x0s = make_batch(B)

@@ -58,3 +58,38 @@ def params_for(model: str, **overrides) -> QuadrotorParams:
         raise KeyError(
             f"unknown vehicle model {model!r}; have {sorted(PRESETS)}"
         ) from None
+
+
+def to_urdf(params: QuadrotorParams | None = None, name: str = "crazyflie2",
+            mesh: str | None = "package://crazyflie_description/meshes/"
+                              "crazyflie2.dae") -> str:
+    """Emit a URDF for a vehicle description (xacro-expanded equivalent of
+    crazyflie2.urdf.xacro:8-26, with the inertial block driven by the
+    given `QuadrotorParams` instead of hard-coded literals — so the
+    identified NMPC model and the datasheet model both export).
+
+    `mesh=None` drops the visual element (no mesh assets ship with this
+    framework; pass a path/URI to reference external ones).  Products of
+    inertia are zero, matching the reference's diagonal inertia model
+    (export_ode_model.py:37-39; crazyflie2.urdf.xacro:14).
+    """
+    p = params if params is not None else cf2_urdf()
+    visual = "" if mesh is None else f"""
+    <visual>
+      <origin xyz="0 0 0" rpy="0 0 0" />
+      <geometry>
+        <mesh filename="{mesh}"/>
+      </geometry>
+    </visual>
+"""
+    return f"""<?xml version="1.0"?>
+<robot name="{name}">
+  <link name="base_link">
+    <inertial>
+      <mass value="{float(p.mq)!r}" />
+      <origin xyz="0 0 0" />
+      <inertia ixx="{float(p.Ixx)!r}" ixy="0.0" ixz="0.0" \
+iyy="{float(p.Iyy)!r}" iyz="0.0" izz="{float(p.Izz)!r}" />
+    </inertial>{visual}  </link>
+</robot>
+"""

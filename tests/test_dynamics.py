@@ -147,6 +147,31 @@ def test_description_presets():
     assert float(heavy.hover_speed()) > float(ident.hover_speed())
 
 
+def test_description_urdf_export():
+    """to_urdf emits well-formed URDF whose inertial block carries the
+    preset values (xacro-expanded crazyflie2.urdf.xacro:8-26)."""
+    import xml.etree.ElementTree as ET
+
+    from crazyflie_nmpc_tpu.models import description as desc
+
+    doc = desc.to_urdf()
+    root = ET.fromstring(doc)
+    assert root.tag == "robot" and root.get("name") == "crazyflie2"
+    inertial = root.find("link/inertial")
+    assert float(inertial.find("mass").get("value")) == 0.027
+    inertia = inertial.find("inertia")
+    assert float(inertia.get("izz")) == 3.2347e-5
+    assert float(inertia.get("ixy")) == 0.0
+    mesh = root.find("link/visual/geometry/mesh")
+    assert mesh.get("filename").endswith("crazyflie2.dae")
+
+    # identified-model export, no mesh assets
+    doc2 = desc.to_urdf(desc.cf21_identified(), name="cf21", mesh=None)
+    root2 = ET.fromstring(doc2)
+    assert root2.find("link/visual") is None
+    assert float(root2.find("link/inertial/mass").get("value")) == 33e-3
+
+
 def test_analytic_jacobians_match_jacfwd():
     """dynamics_jacobians (hand-derived, used by the fast VDE) must equal
     jax.jacfwd of the ODE at random states."""
