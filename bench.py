@@ -150,7 +150,7 @@ def main():
     # 6+1k matches the default's worst-tick accuracy at ~3% more
     # throughput); diagnostic only — the headline stays work-comparable
     # with the reference's acados_solve
-    certified_rate = None
+    certified = None
     if on_tpu:
         cfg_g = ipm.IPMConfig(iters=6, gondzio_correctors=1)
         step_g = make_step(block_b=128, interpret=False, ipm_cfg=cfg_g)
@@ -172,6 +172,9 @@ def main():
         x0c = (hover_state(spec.params, dtype=jnp.float32)[None, :]
                + 0.05 * jax.random.normal(key, (4096, 13), jnp.float32))
         x0c = x0c.at[:, 0].add(0.3)    # saturating transient, every lane
+        # both certified configs reported, keyed by escalation depth
+        # (ADVICE r3: a single scalar silently meant only escalate=32)
+        certified = {}
         for esc in (16, 32):
             cfg_c = ipm.IPMConfig(iters=8, escalate_iters=esc,
                                   escalate_capacity=256,
@@ -180,10 +183,10 @@ def main():
             states_c = to_batch_last(
                 jax.vmap(lambda x: init_rti(spec, x))(x0c))
             dt = measure_chained(step_c, states_c, x0c, rtt)
-            certified_rate = 4096 / dt
+            certified[f"esc{esc}"] = round(4096 / dt, 1)
             log(f"certified operating point (8 + escalate{esc}, "
                 f"worst-case, saturating batch): {dt * 1e3:.2f} ms/step "
-                f"-> {certified_rate:,.0f} solves/s")
+                f"-> {4096 / dt:,.0f} solves/s")
 
     # feedback latency at small batch (the latency-oriented compiled path;
     # reference real-time budget is 15 ms/solve, target < 10 ms).  The
@@ -224,8 +227,9 @@ def main():
         "value": round(best, 1),
         "unit": "solves/s",
         "vs_baseline": round(best / 10000.0, 4),
-        "certified_solves_per_s": (round(certified_rate, 1)
-                                   if certified_rate else None),
+        # keyed by escalation config; esc32 is the bang-bang-certified
+        # worst-case operating point (tools/bangbang_cert.py)
+        "certified_solves_per_s": certified,
         "serving": serving,
     }))
 

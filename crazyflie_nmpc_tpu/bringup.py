@@ -38,10 +38,22 @@ def _jax_cpu():
 
 
 def nmpc_predictor(steps: int = 660, delay: float = 0.06,
-                   traj: str = "helix", f64: bool = True):
+                   traj: str = "helix", f64: bool = True,
+                   actuation: str = "cmd_vel"):
     """acados_predictor.launch: the full NMPC pipeline — tracking the helix
     reference with the delay-compensating estimator at delay=0.06 s
-    (acados_predictor.launch:56-65)."""
+    (acados_predictor.launch:56-65).
+
+    actuation selects the command path out of the controller:
+      "cmd_vel" (default) — the configuration the reference actually
+        flew, composed end-to-end: u1/x4 -> cmd_vel -> radio pipe ->
+        onboard attitude cascade, with the model-consistent single-
+        last-command predictor (runtime.flight_configuration; pinned at
+        2.3 cm max by tests/test_flight_configuration.py).
+      "rotor" — device-resident rotor-level actuation with the
+        pipe-accurate pending-commands predictor
+        (runtime.estimator_in_the_loop; 1.9 cm max).
+    """
     jax = _jax_cpu()
     if f64:
         jax.config.update("jax_enable_x64", True)
@@ -51,6 +63,7 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
     from crazyflie_nmpc_tpu.runtime import (
         LoopConfig,
         estimator_in_the_loop,
+        flight_configuration,
         tracking_error,
     )
     from crazyflie_nmpc_tpu.solver import default_ocp, policies
@@ -65,18 +78,26 @@ def nmpc_predictor(steps: int = 660, delay: float = 0.06,
              else smooth_step_trajectory(spec.params)).astype(dtype)
     delay_steps = int(round(delay / float(spec.dt)))
     cfg = LoopConfig(ipm=IPMConfig(iters=8))
-    steps = min(steps, table.shape[0] - 1)
-    # full-fidelity: the estimator node's reconstruction (LPF velocities,
-    # Euler roundtrip) feeds the NMPC, commands ride the delay pipe —
-    # exactly what acados_predictor.launch composes
-    res = estimator_in_the_loop(
-        spec, jnp.asarray(table[0, :13]), steps=steps,
-        delay_steps=delay_steps, config=cfg,
-        policy_state=policies.tracking_state(), traj_table=table)
+    steps = min(int(steps), table.shape[0] - 1)
+    if actuation == "cmd_vel":
+        # the paper's flight configuration in ONE loop: estimator chain +
+        # cmd_vel extraction + radio delay + onboard cascade
+        res = flight_configuration(spec, table, steps=steps,
+                                   delay_steps=delay_steps, config=cfg)
+    elif actuation == "rotor":
+        # full-fidelity rotor-level variant: the estimator node's
+        # reconstruction feeds the NMPC, rotor commands ride the pipe
+        res = estimator_in_the_loop(
+            spec, jnp.asarray(table[0, :13]), steps=steps,
+            delay_steps=delay_steps, config=cfg,
+            policy_state=policies.tracking_state(), traj_table=table)
+    else:
+        raise ValueError(f"actuation must be 'cmd_vel' or 'rotor', "
+                         f"got {actuation!r}")
     err = tracking_error(res, table)
     return {"result": res, "tracking_err_max": float(err.max()),
             "kkt_max": float(np.max(np.asarray(res.kkt_res))),
-            "delay_steps": delay_steps}
+            "delay_steps": delay_steps, "actuation": actuation}
 
 
 def nmpc_attitude_bench(steps: int = 300, port: int = 47051,

@@ -73,17 +73,21 @@ def to_urdf(params: QuadrotorParams | None = None, name: str = "crazyflie2",
     inertia are zero, matching the reference's diagonal inertia model
     (export_ode_model.py:37-39; crazyflie2.urdf.xacro:14).
     """
+    from xml.sax.saxutils import quoteattr
+
     p = params if params is not None else cf2_urdf()
+    # attribute values are escaped (quoteattr): a name/mesh URI containing
+    # quotes/&/< must not produce malformed URDF (ADVICE r3)
     visual = "" if mesh is None else f"""
     <visual>
       <origin xyz="0 0 0" rpy="0 0 0" />
       <geometry>
-        <mesh filename="{mesh}"/>
+        <mesh filename={quoteattr(mesh)}/>
       </geometry>
     </visual>
 """
     return f"""<?xml version="1.0"?>
-<robot name="{name}">
+<robot name={quoteattr(name)}>
   <link name="base_link">
     <inertial>
       <mass value="{float(p.mq)!r}" />

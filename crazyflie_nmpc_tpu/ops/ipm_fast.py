@@ -156,9 +156,13 @@ def solve_batched(qp: dict, config: IPMConfig = IPMConfig(),
     windowed (condense=2 only): None (default) auto-selects — the fused
     two-phase sweeps inside the VMEM envelope, the HBM-windowed split
     launches (`kkt_sweep_c2_win`) past it, so ANY horizon that fits HBM
-    runs single-chip.  True forces the windowed path (for testing /
-    measurement); False restores the old raise-past-the-envelope
-    behavior.  stats gains `c2_windowed` (0/1).
+    runs single-chip.  The auto-selection ALSO reroutes in-envelope
+    configs to the windowed kernels when the VMEM clamp would shrink the
+    stage blocking below the windowed one (measured faster; a one-time
+    warning reports the switch).  True forces the windowed path (for
+    testing / measurement); False pins the in-VMEM behavior — use it to
+    bisect a compiled-path regression against the auto heuristic.
+    stats gains `c2_windowed` (0/1).
     """
     sol = _solve_core(qp, config, block_b, stages_per_step, interpret,
                       fused, lam0_l, lam0_u, condense, fused_iter,
@@ -273,6 +277,16 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                     # equal blocking -> in-VMEM wins, keep it)
                     ms_win = _c2_win_clamp(M, block_b, ms_req)
                     if ms_c2 < ms_win:
+                        # surface the reroute once (ADVICE r3): the
+                        # default compiled path changes kernel family
+                        # here; windowed=False pins the in-VMEM kernels
+                        warnings.warn(
+                            f"fused c2 sweeps: auto-selected HBM-windowed "
+                            f"kernels (in-VMEM clamp {ms_c2} < windowed "
+                            f"blocking {ms_win} stages; M={M}, "
+                            f"block_b={block_b}); pass windowed=False to "
+                            f"pin the in-VMEM path",
+                            stacklevel=2)
                         use_win = True
                         ms_c2 = ms_win
             if not use_win and ms_c2 < ms_req:

@@ -6,8 +6,10 @@ from crazyflie_nmpc_tpu.runtime.bag import (  # noqa: F401
 from crazyflie_nmpc_tpu.runtime.closed_loop import (  # noqa: F401
     LoopConfig,
     LoopResult,
+    cmd_vel_loop,
     estimator_in_the_loop,
     estimator_measurement,
+    flight_configuration,
     hover_regulation,
     simulate,
     tracking_error,

@@ -235,7 +235,8 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
                  steps: int = 660, delay_steps: int = 4,
                  config: LoopConfig = LoopConfig(), gains=None,
                  plant_substeps: int = 10, meas_delay_steps: int = 0,
-                 predictor: str = "motvel"):
+                 predictor: str = "motvel", policy_state=None,
+                 traj_table=None, measure=None):
     """The reference's ACTUAL actuation architecture, closed in software:
 
         NMPC (rotor-level internal model, u1/x4 extraction)
@@ -281,6 +282,17 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
         This closes the reference's 60 ms operating point in software
         (pinned in tests/test_estimator_fidelity.py).
 
+    policy_state / traj_table select the reference policy driving yref:
+    None (default) = Regulation at `setpoint`; pass
+    policies.tracking_state() + a 17-column table for Tracking — the
+    reference's helix flight configuration (acados_mpc.cpp:458-488)
+    through this exact actuation path (see flight_configuration).
+
+    measure: optional (state0, fn) measurement model applied to the
+    (possibly stale) plant state before prediction — plug in
+    estimator_measurement for the full sensor chain (mocap LPF fusion,
+    Euler-roundtripped attitude).  None = ideal feedback.
+
     Returns LoopResult: x = true plant states, u = rotor speeds the
     onboard mixer actually produced, u_cmd = the NMPC's published u0.
     """
@@ -300,9 +312,13 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
     da = d - dm                      # actuation-leg pipe depth
     f = spec.ode()
     uss = spec.steady_input(x_init.dtype)
-    pol0 = policies_mod.regulation_state(setpoint)
+    pol0 = (policy_state if policy_state is not None
+            else policies_mod.regulation_state(setpoint))
     ny = spec.cost.W.shape[0]
-    table = jnp.zeros((1, ny), x_init.dtype)
+    table = (jnp.asarray(traj_table, x_init.dtype)
+             if traj_table is not None
+             else jnp.zeros((1, ny), x_init.dtype))
+    mstate0, measure_fn = measure if measure is not None else (None, None)
     rti0 = init_rti(spec, x_init)
 
     from crazyflie_nmpc_tpu.solver.outputs import krpm2pwm
@@ -314,14 +330,21 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
 
     def tick(carry, _):
         (x_plant, rti_state, pol_state, cmd_pipe, x_hist, u_prev,
-         cmd_prev, motor) = carry
+         cmd_prev, motor, mstate) = carry
         yref, yref_e, pol_next = policies_mod.make_yref(
             spec, pol_state, table)
 
         # measurement leg: the NMPC sees the dm-tick-stale plant state
-        x_meas = x_hist[0] if dm > 0 else x_plant
+        x_stale = x_hist[0] if dm > 0 else x_plant
         if dm > 0:
             x_hist = jnp.concatenate([x_hist[1:dm], x_plant[None]], axis=0)
+        # sensor chain: the estimator's reconstruction of the (stale)
+        # plant state from mocap + stabilizer Euler + gyro — the stream
+        # itself is uniformly delayed, so fusion runs on the stale state
+        if measure_fn is None:
+            x_meas = x_stale
+        else:
+            mstate, x_meas = measure_fn(mstate, x_stale)
 
         # single-last-command predictor over the FULL round trip
         # (sensing staleness + actuation pipe)
@@ -359,12 +382,12 @@ def cmd_vel_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
             substeps=plant_substeps, gains=gains, motor=motor)
 
         carry = (x_next, rti_state, pol_next, cmd_pipe, x_hist, out.u0,
-                 cmd, motor)
+                 cmd, motor, mstate)
         outs = (x_plant, u_rotor, out.u0, out.kkt_res, pol_state.mode)
         return carry, outs
 
     carry0 = (x_init, rti0, pol0, cmd_pipe0, x_hist0, uss, hover_cmd,
-              init_motor_state(spec.params, x_init))
+              init_motor_state(spec.params, x_init), mstate0)
     _, (xs, us, ucmds, kkts, modes) = jax.lax.scan(
         tick, carry0, None, length=steps)
     return LoopResult(x=xs, u=us, u_cmd=ucmds, kkt_res=kkts,
@@ -424,3 +447,49 @@ def estimator_in_the_loop(spec: OCPSpec, x_init, setpoint=(0.0, 0.0, 0.5),
              else jnp.zeros((1, ny), x_init.dtype))
     return simulate(spec, x_init, pol0, table, steps, cfg,
                     measure=estimator_measurement(spec, x_init))
+
+
+def flight_configuration(spec: OCPSpec, traj_table, steps=None,
+                         delay_steps: int = 4,
+                         config: LoopConfig = LoopConfig(),
+                         predictor: str = "cmd_vel", gains=None,
+                         meas_delay_steps: int = 0,
+                         plant_substeps: int = 10):
+    """The reference's ACTUAL flight configuration, assembled end-to-end
+    in ONE loop — every block the paper flew, composed (not spliced):
+
+        helix Tracking policy          (acados_mpc.cpp:458-488)
+          + full estimator chain        (mocap IIR-LPF velocity fusion,
+            Euler-roundtripped attitude, acados_estimator.cpp:356-440)
+          + 60 ms round-trip delay      (acados_predictor.launch:61-63;
+            delay_steps=4 x 15 ms, split sensing/actuation via
+            meas_delay_steps)
+          + single-last-command delay predictor
+                                        (acados_estimator.cpp:573-593)
+          + u1/x4 -> cmd_vel extraction (acados_mpc.cpp:619-625,644-670)
+          + onboard attitude cascade    (models.firmware — the firmware
+            loop the cmd_vel contract targets)
+          + rotor physics.
+
+    predictor: "cmd_vel" (default) is the model-consistent single-last-
+    command predictor — stable at the shipped 60 ms operating point and
+    beyond (pinned in tests/test_flight_configuration.py).  "motvel" is
+    the reference's rotor-level predictor verbatim; its measured envelope
+    in software is delay_steps <= 2 (tools/firmware_envelope.py: 0/72
+    gain configs stable at 4) — pass it with delay_steps<=2 to fly the
+    literal reference scheme.
+
+    Returns LoopResult (x = TRUE plant states); feed to tracking_error
+    for the per-tick position error over the tracking window.
+    """
+    table = jnp.asarray(traj_table)
+    x0 = table[0, :13]
+    ny = spec.cost.W.shape[0]
+    return cmd_vel_loop(
+        spec, x0, steps=steps or table.shape[0], delay_steps=delay_steps,
+        config=config, gains=gains, plant_substeps=plant_substeps,
+        meas_delay_steps=meas_delay_steps, predictor=predictor,
+        policy_state=policies_mod.tracking_state(
+            setpoint=jnp.zeros((ny,), table.dtype) if spec.f is not None
+            else (0.0, 0.0, 0.5)),
+        traj_table=table, measure=estimator_measurement(spec, x0))

@@ -63,6 +63,7 @@ def study(cfg, label, steps, jump, spec, check_every=1):
     x = x0
     rows = []
     sat_ticks = 0
+    checked = skipped = 0
     for t in range(steps):
         prev = state
         state, out = ctrl(state, x)
@@ -81,11 +82,14 @@ def study(cfg, label, steps, jump, spec, check_every=1):
                 z_ref = oracle.solve_qp_active_set(H, g, E, d, lb, ub, off)
             except RuntimeError:
                 # degenerate tick: the oracle's active-set method cycles
-                # (multiple minimizers / ties at the bound) — report, skip
+                # (multiple minimizers / ties at the bound) — report, skip,
+                # and TALLY so the summary states exactly what was checked
                 print(f"  [tick {t}] oracle active-set cycled "
                       f"(degenerate QP) — tick skipped")
+                skipped += 1
                 x = plant(x, out.u0)
                 continue
+            checked += 1
             u_ref = ut + z_ref[off:].reshape(spec.N, oracle.NU)
             x_ref = xt + z_ref[:off].reshape(spec.N + 1, oracle.NX)
 
@@ -111,6 +115,11 @@ def study(cfg, label, steps, jump, spec, check_every=1):
     er = np.array([r["eq_res"] for r in rows])
     worst = int(np.argmax(u0e))
     print(f"\n[{label}] {steps} ticks, {sat_ticks} saturated (>5% bound)")
+    print(f"  oracle coverage: checked {checked}/{checked + skipped} "
+          f"candidate ticks ({skipped} skipped: oracle degenerate)")
+    if skipped > 0.05 * max(checked + skipped, 1):
+        print(f"  WARNING: >5% of ticks unchecked — the summary below "
+              f"certifies only the checked subset")
     print(f"  u0 err:   max {u0e.max():.3e}  p99 {np.percentile(u0e, 99):.3e}"
           f"  ticks>1e-4: {int((u0e > 1e-4).sum())}")
     print(f"  plan err: max {pe.max():.3e}  ticks>1e-4: "
