@@ -503,8 +503,47 @@ def teleop(ticks: int = 50, port: int = 47070):
                 "stats": server.stats(1)}
 
 
+def telemetry(seconds: float = 1.2, port: int = 47080):
+    """The reference server's typed telemetry plane on connect
+    (crazyflie_server.cpp:519-651): instance the imu (10 ms) and
+    mag/baro/battery + rssi (100 ms) blocks against a simulated vehicle
+    and return the latest unit-converted channels."""
+    import time
+
+    from crazyflie_nmpc_tpu import native
+
+    state = {"gyro.x": 5.0, "gyro.y": -2.0, "gyro.z": 0.5,
+             "acc.x": 0.01, "acc.y": -0.02, "acc.z": 1.0,
+             "mag.x": 2.2e-5, "mag.y": 0.4e-5, "mag.z": 4.3e-5,
+             "baro.temp": 25.0, "baro.pressure": 1013.25,
+             "pm.vbat": 3.95, "radio.rssi": -52.0}
+    with native.FirmwareSim(port, state_provider=lambda n:
+                            state.get(n, 0.0)).serve() as fw, \
+            native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", port, port + 1)
+        toc = server.download_log_toc(1)
+        layout = native.start_typed_channels(server, 1, toc)
+        latest, counts = {}, {}
+        deadline = time.time() + seconds
+        while time.time() < deadline:
+            rec = server.poll_log(1)
+            if rec is None:
+                time.sleep(0.002)
+                continue
+            ch = native.decode_channels(rec, layout)
+            if ch is not None:
+                latest[rec["block_id"]] = ch
+                counts[rec["block_id"]] = counts.get(rec["block_id"],
+                                                     0) + 1
+        native.stop_typed_channels(server, 1, layout)
+        return {"channels": {f"0x{bid:X}": ch
+                             for bid, ch in latest.items()},
+                "records": {f"0x{bid:X}": n for bid, n in counts.items()}}
+
+
 BRINGUPS = {
     "nmpc_predictor": nmpc_predictor,
+    "telemetry": telemetry,
     "nmpc_attitude_bench": nmpc_attitude_bench,
     "pid_waypoints": pid_waypoints,
     "system_identification": system_identification,

@@ -17,4 +17,12 @@ from crazyflie_nmpc_tpu.native.bindings import (  # noqa: F401
     quat_compress,
     quat_decompress,
 )
+from crazyflie_nmpc_tpu.native.channels import (  # noqa: F401
+    IMU_BLOCK,
+    POSE_BLOCK,
+    SENSORS_BLOCK,
+    decode_channels,
+    start_typed_channels,
+    stop_typed_channels,
+)
 from crazyflie_nmpc_tpu.native.firmware_sim import FirmwareSim  # noqa: F401

@@ -93,11 +93,19 @@ class FirmwareSim:
         self.log_vars: dict[str, tuple[int, int]] = {}
         self.log_var_names: dict[int, str] = {}
         self.log_blocks: dict[int, dict] = {}
+        # the variable set the reference server's typed blocks bind
+        # (crazyflie_server.cpp:519-651: logImu, logMotors,
+        # logEulerAngles, log2 = mag/baro/vbat, logPose).  radio.rssi is
+        # this seam's stand-in for the platform-RSSI empty-ack channel
+        # (crazyflie_server.cpp:880-885) — no radio ACKs cross a UDP
+        # link, so the dB value streams as a log variable instead.
         for name in ["gyro.x", "gyro.y", "gyro.z", "acc.x", "acc.y",
                      "acc.z", "stabilizer.roll", "stabilizer.pitch",
                      "stabilizer.yaw", "motor.m1", "motor.m2", "motor.m3",
                      "motor.m4", "pm.vbat", "stateEstimate.x",
-                     "stateEstimate.y", "stateEstimate.z"]:
+                     "stateEstimate.y", "stateEstimate.z",
+                     "mag.x", "mag.y", "mag.z", "baro.temp",
+                     "baro.pressure", "radio.rssi"]:
             self.add_log_var(name, 7)  # float
 
         # actuation / command state

@@ -346,3 +346,79 @@ def test_toc_download():
         assert len(logs) == len(fw.log_vars)
         vid, tb = logs["gyro.x"]
         assert vid == fw.log_vars["gyro.x"][0] and tb == 7
+
+
+def test_typed_telemetry_channels():
+    """The reference server's typed channel set, instanced and converted
+    (VERDICT r3 item 7): imu at 10 ms with deg/s->rad/s + g->m/s^2
+    conversions (crazyflie_server.cpp:779-786), and the 100 ms sensors
+    block carrying battery [V], baro temp [degC] / pressure [hPa],
+    magnetic field [T], and rssi [dB] (crazyflie_server.cpp:600-616,
+    800-835, 880-885)."""
+    from crazyflie_nmpc_tpu.native import (
+        IMU_BLOCK,
+        SENSORS_BLOCK,
+        FirmwareSim,
+        decode_channels,
+        start_typed_channels,
+        stop_typed_channels,
+    )
+    from crazyflie_nmpc_tpu.native.channels import RSSI_BLOCK
+
+    state = {"gyro.x": 57.29578, "gyro.y": -114.59156, "gyro.z": 0.0,
+             "acc.x": 0.0, "acc.y": 0.0, "acc.z": 1.0,
+             "mag.x": 2.5e-5, "mag.y": -1e-5, "mag.z": 4e-5,
+             "baro.temp": 24.5, "baro.pressure": 1012.25,
+             "pm.vbat": 3.92, "radio.rssi": -54.0}
+    fw = FirmwareSim(47017, state_provider=lambda n: state.get(n, 0.0))
+    with fw.serve() as fw, native.LinkServer() as server:
+        server.add_vehicle(1, "127.0.0.1", 47017, 47018)
+        toc = server.download_log_toc(1)
+        layout = start_typed_channels(server, 1, toc)
+        assert set(layout) == {IMU_BLOCK, SENSORS_BLOCK, RSSI_BLOCK}
+
+        seen = {}
+        deadline = time.time() + 5.0
+        while time.time() < deadline and len(seen) < 3:
+            rec = server.poll_log(1)
+            if rec is None:
+                time.sleep(0.005)
+                continue
+            ch = decode_channels(rec, layout)
+            if ch is not None:
+                seen.setdefault(rec["block_id"], ch)
+        assert set(seen) == {IMU_BLOCK, SENSORS_BLOCK, RSSI_BLOCK}
+
+        imu = seen[IMU_BLOCK]
+        # deg/s -> rad/s (57.29578 deg/s == 1 rad/s), g -> m/s^2
+        np.testing.assert_allclose(imu["angular_velocity"],
+                                   (1.0, -2.0, 0.0), atol=1e-5)
+        np.testing.assert_allclose(imu["linear_acceleration"],
+                                   (0.0, 0.0, 9.81), atol=1e-5)
+
+        sens = seen[SENSORS_BLOCK]
+        np.testing.assert_allclose(sens["magnetic_field"],
+                                   (2.5e-5, -1e-5, 4e-5), rtol=1e-5)
+        assert abs(sens["temperature_c"] - 24.5) < 1e-4
+        assert abs(sens["pressure_hpa"] - 1012.25) < 1e-3
+        assert abs(sens["battery_v"] - 3.92) < 1e-5
+        assert abs(seen[RSSI_BLOCK]["rssi_db"] + 54.0) < 1e-4
+
+        # the sensors block streams at the reference's 100 ms period:
+        # ~10 records/s, an order slower than the 10 ms imu block
+        counts = {IMU_BLOCK: 0, SENSORS_BLOCK: 0}
+        t0 = time.time()
+        while time.time() - t0 < 1.2:
+            rec = server.poll_log(1)
+            if rec is None:
+                time.sleep(0.002)
+                continue
+            if rec["block_id"] in counts:
+                counts[rec["block_id"]] += 1
+        assert 5 <= counts[SENSORS_BLOCK] <= 20, counts
+        assert counts[IMU_BLOCK] >= 4 * counts[SENSORS_BLOCK], counts
+
+        stop_typed_channels(server, 1, layout)
+        # a record from an unknown block decodes to None
+        assert decode_channels(dict(block_id=0x33, timestamp_ms=0,
+                                    payload=b"\0" * 12), layout) is None
