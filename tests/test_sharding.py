@@ -148,3 +148,48 @@ def test_stage_sharded_long_horizon_past_fused_envelope():
     np.testing.assert_allclose(np.asarray(new_state.u_traj),
                                np.asarray(ref_state.u_traj),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_stage_sharded_composes_with_windowed_long_horizon():
+    """VERDICT r4 item 5: the two long-horizon mechanisms — the stage-
+    SHARDED XLA path (horizon split over 4 stage devices with all_gather
+    reduction) and the single-device HBM-WINDOWED Pallas kernels
+    (ipm_fast windowed=True, the auto-selected path past the VMEM
+    envelope) — must produce the same RTI step at N=800.  This is the
+    composition the pod design relies on: a horizon too long for one
+    device's VMEM either shards across the stage axis or windows through
+    HBM, and both express the identical Riccati algebra."""
+    from jax import shard_map
+
+    from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
+
+    N = 800
+    spec = default_ocp(N=N, tf=12.0, dtype=jnp.float32)
+    cfg = ipm.IPMConfig(iters=2)   # interpret-mode Pallas is Python-per-op
+    yref, yref_e = hover_yref(spec)
+    x0 = hover_state(spec.params, pos=(0.2, -0.1, 0.4), dtype=jnp.float32)
+    state = init_rti(spec, x0)
+
+    mesh = make_mesh(batch=1, stage=4)
+    fn = shard_map(
+        lambda s, x, yr, ye: stage_sharded_rti_step(
+            spec, mesh, 10, s, x, yr, ye, cfg),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    sharded_state, _ = jax.jit(fn)(state, x0, yref, yref_e)
+
+    states_b = jax.tree.map(lambda a: a[None], state)
+    win_state, _ = rti_step_batched(
+        spec, states_b, x0[None], yref[None], yref_e[None], cfg,
+        block_b=1, stages_per_step=10, interpret=True, condense=2,
+        windowed=True)
+
+    du = np.abs(np.asarray(win_state.u_traj[0])
+                - np.asarray(sharded_state.u_traj))
+    assert du.max() < 5e-4, du.max()   # f32 kernel vs f32 XLA rounding
+    dx = np.abs(np.asarray(win_state.x_traj[0])
+                - np.asarray(sharded_state.x_traj))
+    assert dx.max() < 5e-4, dx.max()
