@@ -98,6 +98,32 @@ class IPMConfig:
                                                metadata=dict(static=True))
 
 
+def certified_config(capacity: int = 0) -> IPMConfig:
+    """The deliberate closed-loop/serving default: 8 Mehrotra iterations
+    + per-tick escalation to 32 — the configuration certified <1e-4
+    against the exact active-set oracle at EVERY tick including the
+    1.5 m bang-bang transient (tools/bangbang_cert.py).
+
+    Why this is the default and plain iters-8 is not: the flight-
+    relevance study (tools/default_iters_flightcheck.py, table in
+    docs/PERF.md) measured the plain default's unconverged active-set-
+    discovery ticks causing up to 0.21 m of closed-loop trajectory
+    divergence and +7% LQ cost on the 1.5 m transient — not flight-
+    irrelevant.  Escalation is mu-gated (escalate_mu_tol), so converged
+    ticks pay nothing: `solve` guards the re-solve with lax.cond;
+    `ipm_fast.solve_batched` cond-skips the gathered sub-solve unless a
+    lane is unconverged (worst-case cost measured in bench.py:
+    171.3k solves/s vs 329.7k unescalated at B=4096).
+
+    capacity: escalation sub-batch size for the batched kernel path
+    (ipm_fast) — pass the lane count (or the expected number of
+    simultaneously-hard lanes); 0 is correct for the single-lane
+    `solve` path which ignores it.
+    """
+    return IPMConfig(iters=8, escalate_iters=32,
+                     escalate_capacity=capacity)
+
+
 def _max_step(v, dv, tau):
     """Fraction-to-boundary: largest alpha <= 1 with v + alpha dv >= (1-tau)v.
 

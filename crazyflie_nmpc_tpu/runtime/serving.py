@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crazyflie_nmpc_tpu.ops.integrators import integrate
-from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+from crazyflie_nmpc_tpu.ops.ipm import IPMConfig, certified_config
 from crazyflie_nmpc_tpu.solver.ocp import OCPSpec
 from crazyflie_nmpc_tpu.solver.outputs import to_cmd_vel
 from crazyflie_nmpc_tpu.solver.rti import RTIState, init_rti, rti_step
@@ -191,7 +191,8 @@ class ServingLoop:
     command vectors cross the device boundary per tick — never the plans.
     """
 
-    def __init__(self, spec: OCPSpec, ipm_config: IPMConfig = IPMConfig(),
+    def __init__(self, spec: OCPSpec,
+                 ipm_config: Optional[IPMConfig] = None,
                  serve: ServeConfig = ServeConfig(), batch: int = 1,
                  use_fused: Optional[bool] = None, block_b: int = 128,
                  stages_per_step: int = 25, predict_gap: bool = True):
@@ -211,6 +212,18 @@ class ServingLoop:
         if use_fused is None:
             use_fused = jax.devices()[0].platform == "tpu"
         self.use_fused = use_fused
+        if ipm_config is None:
+            # deliberate default = the CERTIFIED operating point
+            # (ipm.certified_config): mu-gated escalation is cond-skipped
+            # on the fused path when every lane converged, so hover-class
+            # serving pays nothing; measured worst-case cost is
+            # 171.3k solves/s vs 329.7k (bench.py).  On the non-fused
+            # (vmap) path the cond lowers to a select and both branches
+            # pay every tick — pass an explicit IPMConfig there if
+            # latency outweighs certified accuracy.
+            ipm_config = certified_config(
+                capacity=min(block_b, 256) if use_fused else 0)
+        self.ipm_config = ipm_config
         ode, params, dt, ss = spec.ode(), spec.params, spec.dt, spec.sim_steps
 
         def _predict(x0s, pending):

@@ -223,3 +223,25 @@ def test_certified_fused_batched_path():
                 np.abs(u_ref - np.asarray(out.u_plan[b])).max()))
         x = plant(x, out.u0)
     assert worst < TOL, worst
+
+
+def test_certified_defaults_wired():
+    """VERDICT r4 item 4: the closed-loop and serving DEFAULTS run the
+    certified operating point (8 + mu-gated escalate-32) — the config
+    proven exact vs the active-set oracle at every tick incl. bang-bang
+    (tools/bangbang_cert.py), adopted because plain fixed-8 measurably
+    degrades aggressive transients (0.21 m trajectory divergence, +7%
+    LQ cost at 1.5 m — tools/default_iters_flightcheck.py, docs/PERF.md)."""
+    from crazyflie_nmpc_tpu.ops.ipm import certified_config
+    from crazyflie_nmpc_tpu.runtime.closed_loop import LoopConfig
+    from crazyflie_nmpc_tpu.runtime.serving import ServingLoop
+
+    cfg = LoopConfig().ipm
+    assert cfg == certified_config()
+    assert cfg.iters == 8 and cfg.escalate_iters == 32
+    assert cfg.escalate_mu_tol > 0.0   # mu-GATED: converged ticks skip
+
+    spec = default_ocp(dtype=jnp.float64)
+    loop = ServingLoop(spec, batch=1, use_fused=False)
+    assert loop.ipm_config.iters == 8
+    assert loop.ipm_config.escalate_iters == 32
