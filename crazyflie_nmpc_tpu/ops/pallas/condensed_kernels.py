@@ -273,10 +273,14 @@ def expand2(A, B, c, dx_even, du0, block_b: int = 128,
 # fused KKT sweep on the condensed problem (dense cost + cross term)
 # ---------------------------------------------------------------------------
 
-def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
-                   qx_ref, ruu_ref, ru_ref, Pt_ref, pt_ref, dx0_ref,
+def _kkt_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, Q_ref, S1T_ref,
+                   R00_ref, qx_ref, ruu_ref, ru_ref, Pt_ref, pt_ref, dx0_ref,
                    K_out, kff_out, L_out, Pc_out, dx_out, du_out, dxT_out,
                    P_scr, p_scr, K_all, kff_all, dx_scr):
+    # `ablate` (frozenset of op names) is MEASUREMENT-ONLY: each named op
+    # is replaced by a cheap same-shape stand-in so its cost can be read
+    # off by re-timing (the op-deletion ablation of docs/PERF.md).  Empty
+    # (the only value production code passes) traces the exact original.
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -295,14 +299,15 @@ def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
             P = P_scr[:]
             p = p_scr[:]
 
-            PA = _mm(P, A, NX, NX, NX)
-            PB = _mm(P, Bm, NX, NX, NUC)
-            Pc = _mv(P, c, NX, NX)
+            PA = A if "PA" in ablate else _mm(P, A, NX, NX, NX)
+            PB = Bm if "PB" in ablate else _mm(P, Bm, NX, NX, NUC)
+            Pc = c if "Pc" in ablate else _mv(P, c, NX, NX)
             m = p + Pc
 
             # Quu = R̄ + B̄'PB̄ + diag(ruu_shift); R̄'s dense block is the
             # top-left 4x4 (R00), rest of R̄ is in the ruu_shift diagonal
-            BtPB = _mtm(Bm, PB, NX, NUC, NUC)
+            BtPB = (PB[:NUC] if "BtPB" in ablate
+                    else _mtm(Bm, PB, NX, NUC, NUC))
             z44 = jnp.zeros_like(R00_ref[j])
             R00p = jnp.concatenate([
                 jnp.concatenate([R00_ref[j], z44], axis=1),
@@ -312,17 +317,25 @@ def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
             # Qux = S̄' + B̄'PA with S̄' = [S1T; 0]
             S1T = S1T_ref[j]
             SxT = jnp.concatenate([S1T, jnp.zeros_like(S1T)], axis=0)
-            Qux = SxT + _mtm(Bm, PA, NX, NUC, NX)
+            Qux = (PA[:NUC] if "Qux" in ablate
+                   else SxT + _mtm(Bm, PA, NX, NUC, NX))
             Qu = ru_ref[j] + _mtv(Bm, m, NX, NUC)
 
-            L = _chol_n(Quu, NUC)
-            K = -_cho_solve_n(L, Qux, NUC, NX)
-            kff = -_cho_solve_n_vec(L, Qu, NUC)
+            if "chol" in ablate:
+                L = Quu[0, :1] * jnp.ones((NLC, 1), Quu.dtype)
+                K = -Qux
+                kff = -Qu
+            else:
+                L = _chol_n(Quu, NUC)
+                K = -_cho_solve_n(L, Qux, NUC, NX)
+                kff = -_cho_solve_n_vec(L, Qu, NUC)
 
-            APA = _mtm(A, PA, NX, NX, NX)
-            QK = _mtm(Qux, K, NUC, NX, NX)
+            APA = PA if "APA" in ablate else _mtm(A, PA, NX, NX, NX)
+            QK = (PA if "QK" in ablate
+                  else _mtm(Qux, K, NUC, NX, NX))
             P_new = Q_ref[j] + APA + QK
-            P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+            if "sym" not in ablate:
+                P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
             p_new = qx_ref[j] + _mtv(A, m, NX, NX) + _mtv(K, Qu, NUC, NX)
 
             K_out[j] = K
@@ -346,9 +359,13 @@ def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
             dx = dx_scr[:]
             K = K_all[pl.dslice(base + j, 1)][0]
             kff = kff_all[pl.dslice(base + j, 1)][0]
-            du = _mv(K, dx, NUC, NX) + kff
-            dx_next = (_mv(A_ref[j], dx, NX, NX)
-                       + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
+            if "fwd" in ablate:
+                du = kff
+                dx_next = dx + c_ref[j]
+            else:
+                du = _mv(K, dx, NUC, NX) + kff
+                dx_next = (_mv(A_ref[j], dx, NX, NX)
+                           + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
             dx_out[j] = dx
             du_out[j] = du
             dx_scr[:] = dx_next
@@ -360,7 +377,8 @@ def _kkt_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, Q_ref, S1T_ref, R00_ref,
 
 def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
                  pT_dense_diag, p_term, dx0, block_b: int = 128,
-                 stages_per_step: int = 5, interpret: bool = False):
+                 stages_per_step: int = 5, interpret: bool = False,
+                 ablate: frozenset = frozenset()):
     """Fused dense-cost Riccati factorization + forward rollout over the
     condensed horizon.  qx/ru are the current (residual) linear terms;
     ruu_shift (M,8,·) is the diagonal part of R̄ incl. the IPM barrier
@@ -418,7 +436,7 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         pltpu.VMEM((NX, block_b), dtype),
     ]
     K, kff, L, Pc, dxs, dus, dxT = pl.pallas_call(
-        _ft.partial(_kkt_c2_kernel, ms, ngrid),
+        _ft.partial(_kkt_c2_kernel, ms, ngrid, ablate),
         grid=(nb, 2 * ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1039,9 +1057,10 @@ def iter_sweep_c2(Abar, Bbar, c_res, Qbar, S1T, R00, qx, ruu, r1u,
 # fused corrector sweep on the condensed problem
 # ---------------------------------------------------------------------------
 
-def _corr_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, qx_ref, ru_ref,
+def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
                     K_ref, L_ref, Pc_ref, pt_ref, dx0_ref,
                     dx_out, du_out, dxT_out, p_scr, kff_all, dx_scr):
+    # `ablate` is MEASUREMENT-ONLY — see _kkt_c2_kernel
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -1056,10 +1075,15 @@ def _corr_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, qx_ref, ru_ref,
             Bm = B_ref[j]
             p = p_scr[:]
             m = p + Pc_ref[j]
-            Qu = ru_ref[j] + _mtv(Bm, m, NX, NUC)
-            kff = -_cho_solve_n_vec(L_ref[j], Qu, NUC)
-            p_new = (qx_ref[j] + _mtv(A, m, NX, NX)
-                     + _mtv(K_ref[j], Qu, NUC, NX))
+            Qu = (ru_ref[j] if "Qu" in ablate
+                  else ru_ref[j] + _mtv(Bm, m, NX, NUC))
+            kff = -Qu if "solve" in ablate else -_cho_solve_n_vec(
+                L_ref[j], Qu, NUC)
+            if "pnew" in ablate:
+                p_new = qx_ref[j] + m
+            else:
+                p_new = (qx_ref[j] + _mtv(A, m, NX, NX)
+                         + _mtv(K_ref[j], Qu, NUC, NX))
             kff_all[pl.dslice(base + j, 1)] = kff[None]
             p_scr[:] = p_new
 
@@ -1073,9 +1097,13 @@ def _corr_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, qx_ref, ru_ref,
         for j in range(ms):
             dx = dx_scr[:]
             kff = kff_all[pl.dslice(base + j, 1)][0]
-            du = _mv(K_ref[j], dx, NUC, NX) + kff
-            dx_next = (_mv(A_ref[j], dx, NX, NX)
-                       + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
+            if "fwd" in ablate:
+                du = kff
+                dx_next = dx + c_ref[j]
+            else:
+                du = _mv(K_ref[j], dx, NUC, NX) + kff
+                dx_next = (_mv(A_ref[j], dx, NX, NX)
+                           + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
             dx_out[j] = dx
             du_out[j] = du
             dx_scr[:] = dx_next
@@ -1085,7 +1113,8 @@ def _corr_c2_kernel(ms, ngrid, A_ref, B_ref, c_ref, qx_ref, ru_ref,
 
 def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
                        block_b: int = 128, stages_per_step: int = 5,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       ablate: frozenset = frozenset()):
     """Vector backward pass + forward rollout with the stored condensed
     factorization.  Returns (dx (M+1,13,·), du (M,8,·))."""
     M = Abar.shape[0]
@@ -1116,7 +1145,7 @@ def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
         return pl.BlockSpec(sp + (block_b,), idx, memory_space=pltpu.VMEM)
 
     dxs, dus, dxT = pl.pallas_call(
-        _ft.partial(_corr_c2_kernel, ms, ngrid),
+        _ft.partial(_corr_c2_kernel, ms, ngrid, ablate),
         grid=(nb, 2 * ngrid),
         in_specs=[both((NX, NX)), both((NX, NUC)), fwd((NX,)),
                   bwd((NX,)), bwd((NUC,)), both((NUC, NX)), bwd((NLC,)),
