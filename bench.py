@@ -126,6 +126,7 @@ def main():
 
     rtt = None
     best = 0.0
+    b_sweep = {}      # recorded in the JSON so the artifact says which B won
     sweep = [1024, 2048, 4096, 8192] if on_tpu else [8]
     for B in sweep:
         step = make_step(block_b=min(128, B), interpret=not on_tpu)
@@ -144,6 +145,7 @@ def main():
                              rounds=5 if on_tpu else 1)
         rate = B / dt
         log(f"B={B}: {dt * 1e3:.2f} ms/step -> {rate:,.0f} solves/s")
+        b_sweep[str(B)] = round(rate, 1)
         best = max(best, rate)
 
     # accuracy-equivalent faster operating point (docs/PERF.md: Gondzio
@@ -215,27 +217,136 @@ def main():
         f"ms p99={lat[-1] * 1e3:.3f} ms (budget: 15 ms, target < 10 ms)")
 
     serving = None
+    parity = None
     if on_tpu:
         try:
             serving = serving_decomposition(spec, yref, yref_e, dt_dev)
         except Exception as e:  # never let the serving probe kill the bench
             log(f"serving decomposition failed: {type(e).__name__}: {e}")
             serving = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            parity = compiled_parity()
+        except Exception as e:
+            log(f"compiled parity probe failed: {type(e).__name__}: {e}")
+            parity = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "nmpc_solves_per_s_n50",
         "value": round(best, 1),
         "unit": "solves/s",
         "vs_baseline": round(best / 10000.0, 4),
+        # full throughput sweep (solves/s per batch size) — the artifact
+        # records which B produced the headline (VERDICT r3 item 2)
+        "b_sweep": b_sweep,
         # keyed by escalation config; esc32 is the bang-bang-certified
         # worst-case operating point (tools/bangbang_cert.py)
         "certified_solves_per_s": certified,
         "serving": serving,
+        # hardware compiled-mode parity scalars (VERDICT r3 item 6): the
+        # Mosaic flush/aliasing + HBM-round-trip semantics the opt-in
+        # test_tpu_compiled.py checks, captured in the driver artifact
+        "compiled_parity": parity,
     }))
 
 
+def compiled_parity():
+    """Driver-capturable compiled-mode parity (docs/TESTING.md records the
+    opt-in suite; this puts the scalars in the BENCH artifact).
+
+    Three max-|du_plan| diffs, all compiled on the real chip, f32
+    (expected ~1e-5-class; 2e-3 is the opt-in suite's bound):
+      fused_iter_du: whole-iteration single-launch kernel
+        (`iter_sweep_c2`, revisited-block flush + input_output_aliases
+        semantics) vs the two-launch path, N=10.
+      windowed_du: HBM-windowed split sweeps (windowed=True) vs the
+        in-VMEM fused path pinned with windowed=False, N=200 — the
+        largest production-class horizon where both compile (the in-VMEM
+        envelope ends ~N=314 at ms=1, ipm_fast._c2_vmem_clamp).
+      longN_vs_xla_du: N=400 — PAST the in-VMEM envelope, where the
+        auto-selected path is windowed — vs the independent pure-XLA
+        RTI step (vmapped solver.rti.rti_step, no Pallas kernels).
+    """
+    import numpy as np
+
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.ops import ipm
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+    from crazyflie_nmpc_tpu.solver.rti import rti_step
+    from crazyflie_nmpc_tpu.solver.rti_batched import (
+        rti_step_batched,
+        to_batch_last,
+    )
+
+    B = 128
+    out = {}
+
+    def du_diff(o_a, o_b):
+        return float(np.abs(np.asarray(o_a.u_plan)
+                            - np.asarray(o_b.u_plan)).max())
+
+    def setup(N, tf):
+        spec = default_ocp(N=N, tf=tf, dtype=jnp.float32)
+        yref, yref_e = hover_yref(spec)
+        key = jax.random.PRNGKey(3)
+        x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+               + jnp.concatenate(
+                   [0.3 * jax.random.normal(key, (B, 3), jnp.float32),
+                    0.02 * jax.random.normal(key, (B, 10), jnp.float32)],
+                   axis=1))
+        states_bf = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+        states = to_batch_last(states_bf)
+
+        def run(**kw):
+            kw.setdefault("block_b", 128)
+            kw.setdefault("layout", "batch_last")
+            cfg = kw.pop("cfg", ipm.IPMConfig(iters=1))
+            if kw.pop("xla", False):
+                # f32 matmul precision is REQUIRED here: under the TPU
+                # default (bf16 passes) the 400-stage sequential Riccati
+                # accumulates enough error to break the Cholesky (21/128
+                # lanes NaN, measured).  The Pallas kernels are immune —
+                # the VPU broadcast-FMA formulation is full f32.
+                with jax.default_matmul_precision("float32"):
+                    _, o = jax.jit(jax.vmap(
+                        lambda s, x: rti_step(spec, s, x, yref, yref_e,
+                                              cfg)
+                    ))(states_bf, x0s)
+                jax.block_until_ready(o.u_plan)
+                return o
+            _, o = jax.jit(lambda s, x: rti_step_batched(
+                spec, s, x, yref, yref_e, cfg, **kw))(states, x0s)
+            jax.block_until_ready(o.u_plan)
+            return o
+        return run
+
+    run10 = setup(10, 0.15)
+    o_ref = run10(stages_per_step=10)
+    o_one = run10(stages_per_step=10, fused_iter=True)
+    out["fused_iter_du"] = du_diff(o_one, o_ref)
+    log(f"[parity] fused_iter vs two-launch (N=10): "
+        f"{out['fused_iter_du']:.3e}")
+
+    run200 = setup(200, 3.0)
+    o_vmem = run200(stages_per_step=8, windowed=False)
+    o_win = run200(stages_per_step=8, windowed=True)
+    out["windowed_du"] = du_diff(o_win, o_vmem)
+    log(f"[parity] windowed vs in-VMEM (N=200): {out['windowed_du']:.3e}")
+
+    run400 = setup(400, 6.0)
+    o_auto = run400(stages_per_step=8)            # past envelope -> windowed
+    o_xla = run400(xla=True)
+    # batch-last (N, nu, B) vs the vmapped path's (B, N, nu)
+    out["longN_vs_xla_du"] = float(np.abs(
+        np.asarray(o_auto.u_plan)
+        - np.moveaxis(np.asarray(o_xla.u_plan), 0, -1)).max())
+    log(f"[parity] windowed N=400 (past envelope) vs XLA path: "
+        f"{out['longN_vs_xla_du']:.3e}")
+    return {k: round(v, 9) for k, v in out.items()}
+
+
 def serving_decomposition(spec, yref, yref_e, dt_dev,
-                          sync_s: float = 12.0, sustained_s: float = 15.0):
+                          sync_s: float = 12.0, sustained_s: float = 15.0,
+                          pairs: int = 5):
     """Driver-capturable real-time serving numbers (docs/PERF.md).
 
     Runs the actual `runtime.serving.ServingLoop` (66.6 Hz absolute-time
@@ -243,6 +354,12 @@ def serving_decomposition(spec, yref, yref_e, dt_dev,
     discipline, acados_estimator.cpp:642) against a host-side simulated
     plant pinned to the CPU backend, plus the transport floor that makes
     tunnel-hosted numbers auditable.
+
+    The on-host estimate (serving p50 − transport-floor p50) is reported
+    as MEDIAN ± SPREAD over `pairs` interleaved floor/serve measurement
+    pairs (VERDICT r3 item 2: tunnel noise is ~10x the quantity being
+    estimated, so a point estimate carries fictitious precision —
+    interleaving pairs makes each difference share one noise regime).
     """
     import numpy as np
 
@@ -254,10 +371,6 @@ def serving_decomposition(spec, yref, yref_e, dt_dev,
         ServingLoop,
         measure_transport_floor,
     )
-
-    floor = measure_transport_floor(batch=1, n=120)
-    log(f"[serving] transport floor p50={floor['p50_ms']:.3f} ms "
-        f"p99={floor['p99_ms']:.3f} ms")
 
     cpu = jax.local_devices(backend="cpu")[0]
     dt = float(spec.dt)
@@ -303,23 +416,40 @@ def serving_decomposition(spec, yref, yref_e, dt_dev,
             f"final err={err:.4f} m")
         return out
 
-    sync = serve(66.6, sync_s)
+    # interleaved floor/serve pairs: each difference is taken within one
+    # tunnel-noise regime; the estimate is their median +- spread
+    diffs, floors, syncs = [], [], None
+    per_pair_s = max(3.0, sync_s / pairs)
+    for k in range(pairs):
+        floor = measure_transport_floor(batch=1, n=40)
+        floors.append(floor)
+        s = serve(66.6, per_pair_s)
+        if syncs is None or s["p50_ms"] < syncs["p50_ms"]:
+            syncs = s
+        diffs.append(max(s["p50_ms"] - floor["p50_ms"], 0.0))
+        log(f"[serving] pair {k}: floor p50={floor['p50_ms']:.3f} "
+            f"serve p50={s['p50_ms']:.3f} -> diff {diffs[-1]:.3f} ms")
+    diffs_sorted = sorted(diffs)
+    on_host = diffs_sorted[len(diffs) // 2]
+    spread = diffs_sorted[-1] - diffs_sorted[0]
+    floor = min(floors, key=lambda f: f["p50_ms"])
+
     # a rate the measured transport can sustain (a PCIe-local TPU sustains
     # 66.6 Hz; through the tunnel the floor itself exceeds the period)
     sustain_hz = min(66.6, 1e3 / (1.3 * (floor["p99_ms"] + 10.0)))
-    sustained = sync if abs(sustain_hz - 66.6) < 1e-9 else serve(
-        sustain_hz, sustained_s)
+    sustained = serve(sustain_hz, sustained_s)
 
-    on_host = max(sync["p50_ms"] - floor["p50_ms"], 0.0)
-    log(f"[serving] on-host estimate (p50 - floor): {on_host:.3f} ms "
-        f"(target < 10 ms)")
+    log(f"[serving] on-host estimate: median {on_host:.3f} ms, spread "
+        f"{spread:.3f} ms over {pairs} interleaved pairs (target < 10 ms)")
     return dict(
         transport_floor_p50_ms=round(floor["p50_ms"], 3),
         transport_floor_p99_ms=round(floor["p99_ms"], 3),
         device_resident_solve_ms=round(dt_dev * 1e3, 3),
-        sync_66hz=sync,
+        sync_66hz=syncs,
         sustained=sustained,
         on_host_estimate_ms=round(on_host, 3),
+        on_host_estimate_spread_ms=round(spread, 3),
+        on_host_pairs=[round(d, 3) for d in diffs],
     )
 
 
