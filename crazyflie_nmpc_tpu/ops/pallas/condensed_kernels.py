@@ -65,15 +65,20 @@ def _pk(i, j, n):
 
 
 def _chol_n(M, n):
-    """Unrolled n x n Cholesky of (n, n, B) -> packed lower (n(n+1)/2, B)."""
+    """Unrolled n x n Cholesky of (n, n, B) -> packed lower (n(n+1)/2, B).
+
+    rsqrt formulation: the round-4 op-deletion ablation measured the
+    chol+solve group at 21% of the kkt launch — far above its MAC share —
+    with VPU divide/sqrt cost the driver.  ljj = s*rsqrt(s) and
+    inv = rsqrt(s) replace one sqrt + one divide per column with one
+    rsqrt + one multiply (docs/PERF.md speed-of-light table)."""
     L = [None] * (n * (n + 1) // 2)
     for j in range(n):
         s = M[j, j]
         for t in range(j):
             s = s - L[_pk(j, t, n)] * L[_pk(j, t, n)]
-        ljj = jnp.sqrt(s)
-        L[_pk(j, j, n)] = ljj
-        inv = 1.0 / ljj
+        inv = jax.lax.rsqrt(s)
+        L[_pk(j, j, n)] = s * inv
         for i in range(j + 1, n):
             s = M[i, j]
             for t in range(j):
@@ -82,37 +87,46 @@ def _chol_n(M, n):
     return jnp.stack(L)
 
 
+def _cho_diag_inv(L, n):
+    """(n,) reciprocals of the packed diagonal — hoisted once per solve so
+    the substitution rows multiply instead of divide (a lane-wide divide
+    per row was ~2x the cost of the FMA it replaced, measured)."""
+    return [1.0 / L[_pk(i, i, n)] for i in range(n)]
+
+
 def _cho_solve_n(L, Y, n, m):
     """Solve (L L^T) X = Y, packed L (n(n+1)/2, B), Y (n, m, B)."""
+    inv = _cho_diag_inv(L, n)
     z = [None] * n
     for i in range(n):
         s = Y[i]
         for t in range(i):
             s = s - L[_pk(i, t, n)][None, :] * z[t]
-        z[i] = s / L[_pk(i, i, n)][None, :]
+        z[i] = s * inv[i][None, :]
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = z[i]
         for t in range(i + 1, n):
             s = s - L[_pk(t, i, n)][None, :] * x[t]
-        x[i] = s / L[_pk(i, i, n)][None, :]
+        x[i] = s * inv[i][None, :]
     return jnp.stack(x)
 
 
 def _cho_solve_n_vec(L, y, n):
     """Solve (L L^T) x = y, packed L, y (n, B)."""
+    inv = _cho_diag_inv(L, n)
     z = [None] * n
     for i in range(n):
         s = y[i]
         for t in range(i):
             s = s - L[_pk(i, t, n)] * z[t]
-        z[i] = s / L[_pk(i, i, n)]
+        z[i] = s * inv[i]
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = z[i]
         for t in range(i + 1, n):
             s = s - L[_pk(t, i, n)] * x[t]
-        x[i] = s / L[_pk(i, i, n)]
+        x[i] = s * inv[i]
     return jnp.stack(x)
 
 

@@ -105,17 +105,28 @@ def _add_diag(M, d, n):
 
 
 def _chol4(M):
-    """Unrolled 4x4 Cholesky of (4,4,B) -> packed lower (10,B)."""
-    l00 = jnp.sqrt(M[0, 0])
-    l10 = M[1, 0] / l00
-    l20 = M[2, 0] / l00
-    l30 = M[3, 0] / l00
-    l11 = jnp.sqrt(M[1, 1] - l10 * l10)
-    l21 = (M[2, 1] - l20 * l10) / l11
-    l31 = (M[3, 1] - l30 * l10) / l11
-    l22 = jnp.sqrt(M[2, 2] - l20 * l20 - l21 * l21)
-    l32 = (M[3, 2] - l30 * l20 - l31 * l21) / l22
-    l33 = jnp.sqrt(M[3, 3] - l30 * l30 - l31 * l31 - l32 * l32)
+    """Unrolled 4x4 Cholesky of (4,4,B) -> packed lower (10,B).
+
+    rsqrt formulation (same move as condensed_kernels._chol_n, measured
+    in the round-4 op-deletion ablation): each column's sqrt + divides
+    become one rsqrt + multiplies — VPU divide throughput is the cost
+    driver of the chol/solve group, not its MACs."""
+    r00 = jax.lax.rsqrt(M[0, 0])
+    l00 = M[0, 0] * r00
+    l10 = M[1, 0] * r00
+    l20 = M[2, 0] * r00
+    l30 = M[3, 0] * r00
+    d11 = M[1, 1] - l10 * l10
+    r11 = jax.lax.rsqrt(d11)
+    l11 = d11 * r11
+    l21 = (M[2, 1] - l20 * l10) * r11
+    l31 = (M[3, 1] - l30 * l10) * r11
+    d22 = M[2, 2] - l20 * l20 - l21 * l21
+    r22 = jax.lax.rsqrt(d22)
+    l22 = d22 * r22
+    l32 = (M[3, 2] - l30 * l20 - l31 * l21) * r22
+    d33 = M[3, 3] - l30 * l30 - l31 * l31 - l32 * l32
+    l33 = d33 * jax.lax.rsqrt(d33)
     return jnp.stack([l00, l10, l20, l30, l11, l21, l31, l22, l32, l33])
 
 
@@ -123,35 +134,44 @@ def _unpack_L(L):
     return (L[0], L[1], L[2], L[3], L[4], L[5], L[6], L[7], L[8], L[9])
 
 
+def _inv4(L):
+    """Reciprocals of the packed diagonal, hoisted once per solve (lane-
+    wide divides per substitution row measured ~2x their replacement FMA;
+    docs/PERF.md speed-of-light ablation)."""
+    return 1.0 / L[0], 1.0 / L[4], 1.0 / L[7], 1.0 / L[9]
+
+
 def _cho_solve4(L, Y, m):
     """Solve (L L^T) X = Y with packed L (10,B), Y (4,m,B) -> (4,m,B)."""
     l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = _unpack_L(L)
+    i00, i11, i22, i33 = _inv4(L)
     # forward: L Z = Y
-    z0 = Y[0] / l00[None, :]
-    z1 = (Y[1] - l10[None, :] * z0) / l11[None, :]
-    z2 = (Y[2] - l20[None, :] * z0 - l21[None, :] * z1) / l22[None, :]
+    z0 = Y[0] * i00[None, :]
+    z1 = (Y[1] - l10[None, :] * z0) * i11[None, :]
+    z2 = (Y[2] - l20[None, :] * z0 - l21[None, :] * z1) * i22[None, :]
     z3 = (Y[3] - l30[None, :] * z0 - l31[None, :] * z1
-          - l32[None, :] * z2) / l33[None, :]
+          - l32[None, :] * z2) * i33[None, :]
     # backward: L^T X = Z
-    x3 = z3 / l33[None, :]
-    x2 = (z2 - l32[None, :] * x3) / l22[None, :]
-    x1 = (z1 - l21[None, :] * x2 - l31[None, :] * x3) / l11[None, :]
+    x3 = z3 * i33[None, :]
+    x2 = (z2 - l32[None, :] * x3) * i22[None, :]
+    x1 = (z1 - l21[None, :] * x2 - l31[None, :] * x3) * i11[None, :]
     x0 = (z0 - l10[None, :] * x1 - l20[None, :] * x2
-          - l30[None, :] * x3) / l00[None, :]
+          - l30[None, :] * x3) * i00[None, :]
     return jnp.stack([x0, x1, x2, x3])
 
 
 def _cho_solve4_vec(L, y):
     """Solve (L L^T) x = y with packed L (10,B), y (4,B) -> (4,B)."""
     l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = _unpack_L(L)
-    z0 = y[0] / l00
-    z1 = (y[1] - l10 * z0) / l11
-    z2 = (y[2] - l20 * z0 - l21 * z1) / l22
-    z3 = (y[3] - l30 * z0 - l31 * z1 - l32 * z2) / l33
-    x3 = z3 / l33
-    x2 = (z2 - l32 * x3) / l22
-    x1 = (z1 - l21 * x2 - l31 * x3) / l11
-    x0 = (z0 - l10 * x1 - l20 * x2 - l30 * x3) / l00
+    i00, i11, i22, i33 = _inv4(L)
+    z0 = y[0] * i00
+    z1 = (y[1] - l10 * z0) * i11
+    z2 = (y[2] - l20 * z0 - l21 * z1) * i22
+    z3 = (y[3] - l30 * z0 - l31 * z1 - l32 * z2) * i33
+    x3 = z3 * i33
+    x2 = (z2 - l32 * x3) * i22
+    x1 = (z1 - l21 * x2 - l31 * x3) * i11
+    x0 = (z0 - l10 * x1 - l20 * x2 - l30 * x3) * i00
     return jnp.stack([x0, x1, x2, x3])
 
 

@@ -109,10 +109,14 @@ def measure_hbm_bw(mb: int = 256, passes: int = 8):
 # issue-rate microkernels (resident data, no HBM streaming in the loop)
 # ---------------------------------------------------------------------------
 
-def measure_fma_rate(block_b=128, reps=400):
+def measure_fma_rate(block_b=128, reps=512, unroll=16):
     """Bare broadcast-FMA 13x13 @ 13x13 matmul (_mm) on resident VMEM
-    data: the primitive the sweeps are built from.  Returns ns per
-    matmul (2197 MACs x block_b lanes) and the implied MAC/s."""
+    data: the primitive the sweeps are built from.  The inner `unroll`
+    matmuls are trace-time unrolled (like the real kernels' stage loops)
+    so Mosaic can software-pipeline — a fori_loop around a single matmul
+    measures loop-carry serialization, not issue rate (first attempt
+    measured 1495 ns/matmul that way; unrolled is the honest number).
+    Returns ns per matmul (2197 MACs x block_b lanes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -122,9 +126,11 @@ def measure_fma_rate(block_b=128, reps=400):
         b = b_ref[...]
 
         def body(i, c):
-            return _mm(c, b, NX, NX, NX) * 7.6e-4 + b
+            for _ in range(unroll):
+                c = _mm(c, b, NX, NX, NX) * 7.6e-4 + b
+            return c
 
-        o_ref[...] = jax.lax.fori_loop(0, reps, body, a_ref[...])
+        o_ref[...] = jax.lax.fori_loop(0, reps // unroll, body, a_ref[...])
 
     a = jnp.broadcast_to(
         jnp.eye(NX, dtype=jnp.float32)[:, :, None], (NX, NX, block_b))
@@ -200,8 +206,16 @@ def measure_stage_replay(block_b=128, reps=60):
             p_new = qx + _mtv(A, m, NX, NX) + _mtv(K, Qu, NUC, NX)
             return P_new, p_new
 
+        def body4(i, carry):
+            # 4 stages trace-time unrolled per loop step (the real kernel
+            # unrolls ms stages) so the measurement includes cross-stage
+            # software pipelining, not fori_loop carry serialization
+            for _ in range(4):
+                carry = body(i, carry)
+            return carry
+
         P, p = jax.lax.fori_loop(
-            0, reps, body, (P0_ref[...], p0_ref[...]))
+            0, reps // 4, body4, (P0_ref[...], p0_ref[...]))
         P_out[...] = P
         p_out[...] = p
 
@@ -284,6 +298,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--sps", type=int, default=10)
+    ap.add_argument("--kkt-ops", default="",
+                    help="comma list of kkt ablations to run (default all)")
     args = ap.parse_args()
     B = args.batch
     print(f"device: {jax.devices()[0].device_kind}, B={B}")
@@ -391,6 +407,42 @@ def main():
     print(f"windowed split launches (bwd+fwd through HBM): {t_win:.3f} ms"
           f" ({t_win - t_kkt:+.3f} vs fused — the gain-round-trip price)")
 
+    # ---- FULL-STEP check: does the split-launch advantage survive in
+    # context (kkt + corrector windowed, 8 iterations, real RTI glue)?
+    from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+    from crazyflie_nmpc_tpu.solver.rti_batched import rti_step_batched
+
+    def full_step(windowed):
+        @jax.jit
+        def f(s, x):
+            return rti_step_batched(spec, s, x, yref, yref_e,
+                                    IPMConfig(iters=8), block_b=128,
+                                    stages_per_step=args.sps,
+                                    layout="batch_last",
+                                    windowed=windowed)
+        return f
+
+    def time_step(f, iters=15, rounds=5):
+        rtt = _rtt()
+        s, out = f(states, x0s)
+        _drain(out.u0)
+        ds = []
+        for _ in range(rounds):
+            s = states
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s, out = f(s, x0s)
+            _drain(out.u0)
+            ds.append((time.perf_counter() - t0 - rtt) / iters)
+        ds.sort()
+        return ds[len(ds) // 2] * 1e3
+
+    for wlabel, w in [("default (in-VMEM fused)", None),
+                      ("windowed split", True)]:
+        t = time_step(full_step(w))
+        print(f"FULL RTI step, {wlabel}: {t:.3f} ms "
+              f"-> {B / t * 1e3:,.0f} solves/s")
+
     # ---- bounds ---------------------------------------------------------
     bw = measure_hbm_bw()
     ns_mm = measure_fma_rate()
@@ -418,20 +470,32 @@ def main():
               f"{tis:>11.3f}ms{sol:>9.3f}ms{tm:>9.3f}ms{tm / sol:>7.2f}")
 
     # ---- op-deletion ablations -----------------------------------------
+    # each variant is a fresh remote compile through the tunnel; transient
+    # RPC failures must not kill the whole study
+    def safe_time(mk, tag, base):
+        for attempt in range(3):
+            try:
+                t = timeit(mk(), ru0, iters=5) / 8
+                print(f"  -{tag:<6} {t:.3f} ms  (op cost ~ "
+                      f"{base - t:+.3f} ms, "
+                      f"{(base - t) / base * 100:+.1f}%)")
+                return t
+            except Exception as e:
+                print(f"  -{tag:<6} attempt {attempt}: "
+                      f"{type(e).__name__} (tunnel) — retrying")
+                time.sleep(5)
+        print(f"  -{tag:<6} FAILED after retries")
+        return None
+
     print("\n=== kkt_sweep_c2 op-deletion ablation (delta vs full) ===")
-    base = t_kkt
-    for op in ["PA", "PB", "Pc", "BtPB", "Qux", "chol", "APA", "QK",
-               "sym", "fwd"]:
-        t = timeit(chain_kkt(frozenset([op])), ru0, iters=5) / 8
-        print(f"  -{op:<6} {t:.3f} ms  (op cost ~ {base - t:+.3f} ms, "
-              f"{(base - t) / base * 100:+.1f}%)")
+    for op in args.kkt_ops.split(",") if args.kkt_ops else [
+            "PA", "PB", "Pc", "BtPB", "Qux", "chol", "APA", "QK",
+            "sym", "fwd"]:
+        safe_time(lambda op=op: chain_kkt(frozenset([op])), op, t_kkt)
 
     print("\n=== corrector_sweep_c2 op-deletion ablation ===")
-    basec = t_corr
     for op in ["Qu", "solve", "pnew", "fwd"]:
-        t = timeit(chain_corr(frozenset([op])), ru0, iters=5) / 8
-        print(f"  -{op:<6} {t:.3f} ms  (op cost ~ {basec - t:+.3f} ms, "
-              f"{(basec - t) / basec * 100:+.1f}%)")
+        safe_time(lambda op=op: chain_corr(frozenset([op])), op, t_corr)
 
 
 if __name__ == "__main__":
