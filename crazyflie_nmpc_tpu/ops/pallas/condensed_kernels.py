@@ -1073,7 +1073,8 @@ def iter_sweep_c2(Abar, Bbar, c_res, Qbar, S1T, R00, qx, ruu, r1u,
 
 def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
                     K_ref, L_ref, Pc_ref, pt_ref, dx0_ref,
-                    dx_out, du_out, dxT_out, p_scr, kff_all, dx_scr):
+                    dx_out, du_out, dxT_out, p_scr, kff_all, K_all,
+                    dx_scr):
     # `ablate` is MEASUREMENT-ONLY — see _kkt_c2_kernel
     n = pl.program_id(1)
 
@@ -1087,6 +1088,7 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
         for j in range(ms - 1, -1, -1):
             A = A_ref[j]
             Bm = B_ref[j]
+            K = K_ref[j]
             p = p_scr[:]
             m = p + Pc_ref[j]
             Qu = (ru_ref[j] if "Qu" in ablate
@@ -1097,8 +1099,14 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
                 p_new = qx_ref[j] + m
             else:
                 p_new = (qx_ref[j] + _mtv(A, m, NX, NX)
-                         + _mtv(K_ref[j], Qu, NUC, NX))
+                         + _mtv(K, Qu, NUC, NX))
             kff_all[pl.dslice(base + j, 1)] = kff[None]
+            # park K for the forward phase: this kernel is at the HBM
+            # streaming floor (round-4 SoL ablation), so re-streaming K
+            # through the forward `both` spec was 12% of its bytes; the
+            # VMEM cost equals the kkt kernel's own K_all scratch, so the
+            # shared envelope clamp is unchanged
+            K_all[pl.dslice(base + j, 1)] = K[None]
             p_scr[:] = p_new
 
     @pl.when(n == ngrid)
@@ -1115,7 +1123,8 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
                 du = kff
                 dx_next = dx + c_ref[j]
             else:
-                du = _mv(K_ref[j], dx, NUC, NX) + kff
+                K = K_all[pl.dslice(base + j, 1)][0]
+                du = _mv(K, dx, NUC, NX) + kff
                 dx_next = (_mv(A_ref[j], dx, NX, NX)
                            + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
             dx_out[j] = dx
@@ -1162,7 +1171,7 @@ def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
         _ft.partial(_corr_c2_kernel, ms, ngrid, ablate),
         grid=(nb, 2 * ngrid),
         in_specs=[both((NX, NX)), both((NX, NUC)), fwd((NX,)),
-                  bwd((NX,)), bwd((NUC,)), both((NUC, NX)), bwd((NLC,)),
+                  bwd((NX,)), bwd((NUC,)), bwd((NUC, NX)), bwd((NLC,)),
                   bwd((NX,)), spec_const((NX,)), spec_const((NX,))],
         out_specs=(fwd((NX,)), fwd((NUC,)), spec_const((NX,))),
         out_shape=(jax.ShapeDtypeStruct((M, NX, Btot), dtype),
@@ -1170,6 +1179,7 @@ def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
                    jax.ShapeDtypeStruct((NX, Btot), dtype)),
         scratch_shapes=[pltpu.VMEM((NX, block_b), dtype),
                         pltpu.VMEM((M, NUC, block_b), dtype),
+                        pltpu.VMEM((M, NUC, NX, block_b), dtype),
                         pltpu.VMEM((NX, block_b), dtype)],
         interpret=interpret,
     )(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0)

@@ -272,12 +272,13 @@ def kkt_bytes(M, B, dtype_bytes=4):
 
 
 def corr_bytes(M, B, dtype_bytes=4):
-    """Per-launch bytes of corrector_sweep_c2 (K streams in both phases)."""
+    """Per-launch bytes of corrector_sweep_c2 (K streams once since the
+    round-4 K_all VMEM cache; it was 12% of bytes as a `both` spec)."""
     per_stage = (
         2 * (13 * 13 + 13 * 8)           # A, B x two phases
         + 13                             # c (forward)
         + 13 + 8                         # qx, ru
-        + 2 * 8 * 13 + 36 + 13           # K x two phases, L, Pc
+        + 8 * 13 + 36 + 13               # K (backward only), L, Pc
         + 13 + 8                         # outputs dx, du
     )
     const = 2 * 13 + 13
