@@ -42,8 +42,16 @@ def log(*a):
 
 
 def fetch_rtt(probe_arr, n: int = 15) -> float:
-    """Median wall time of a scalar value fetch with an empty pipeline —
-    the host<->device round trip that drained timings must subtract."""
+    """MIN wall time of a scalar value fetch with an empty pipeline —
+    the host<->device round trip that drained timings must subtract.
+
+    Min, not median (round-4 fix): the RTT is subtracted from every
+    chained measurement, so an RTT sampled during a tunnel-stall regime
+    OVER-subtracts and inflates every rate — round 3's captured
+    329.7k solves/s is not reproducible and carries exactly this
+    signature (a one-shot stall-era median RTT).  The minimum is the
+    only sample guaranteed not to include stall time; under-subtracting
+    makes rates strictly conservative."""
     tiny = jax.jit(jnp.max)
     float(tiny(probe_arr))
     ts = []
@@ -51,8 +59,7 @@ def fetch_rtt(probe_arr, n: int = 15) -> float:
         t0 = time.perf_counter()
         float(tiny(probe_arr))
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    return min(ts)
 
 
 def measure_chained(step, states0, x0s, rtt, steps=20, rounds=5):
@@ -60,10 +67,16 @@ def measure_chained(step, states0, x0s, rtt, steps=20, rounds=5):
     fetch, which is the only operation that provably drains the device
     pipeline (block_until_ready through a tunneled dev chip intermittently
     returns early — measured; docs/PERF.md "timing methodology").
-    Subtracts the separately measured fetch RTT; median of `rounds`."""
+
+    The fetch RTT is RE-measured (min of 8) immediately before the
+    timing rounds — per-measurement, same noise regime — and subtracted;
+    median of `rounds`.  The rtt argument is only a fallback for
+    off-TPU runs where it is 0."""
     s = states0
     s, u0 = step(s, x0s)
     float(jnp.max(u0))                       # warm
+    if rtt:
+        rtt = fetch_rtt(x0s, n=8)
     ds = []
     for _ in range(rounds):
         s = states0
