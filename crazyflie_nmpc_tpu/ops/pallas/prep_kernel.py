@@ -40,9 +40,19 @@ NPARAM = 9  # g0, mq, Ixx, Iyy, Izz, Cd, Ct, l, dt
 # (dt rides the params tile because tf is a traced OCPSpec leaf)
 
 
-def _dyn_rows(p, x, u):
+def _pinv(p):
+    """(1/mq, 1/Ixx, 1/Iyy, 1/Izz), hoisted ONCE per VDE stage: the row
+    functions below run 4x per RK4 step each and every mass/inertia
+    divide is a lane-wide VPU division (~2x the cost of the multiply
+    that replaces it — the round-4 speed-of-light ablation's lesson,
+    docs/PERF.md)."""
+    return 1.0 / p[1], 1.0 / p[2], 1.0 / p[3], 1.0 / p[4]
+
+
+def _dyn_rows(p, x, u, pi=None):
     """13 dynamics channels as (B,) rows; x (13,B), u (4,B), p (8,B)."""
     g0, mq, Ixx, Iyy, Izz, Cd, Ct, l = (p[i] for i in range(8))
+    imq, iIxx, iIyy, iIzz = pi if pi is not None else _pinv(p)
     q1, q2, q3, q4 = x[3], x[4], x[5], x[6]
     vbx, vby, vbz = x[7], x[8], x[9]
     wx, wy, wz = x[10], x[11], x[12]
@@ -61,26 +71,27 @@ def _dyn_rows(p, x, u):
     dq2 = (q1 * wx) / 2 - (q4 * wy) / 2 + (q3 * wz) / 2
     dq3 = (q4 * wx) / 2 + (q1 * wy) / 2 - (q2 * wz) / 2
     dq4 = (q2 * wy) / 2 - (q3 * wx) / 2 + (q1 * wz) / 2
-    thrust = (Ct * (w1 * w1 + w2 * w2 + w3 * w3 + w4 * w4)) / mq
+    thrust = (Ct * (w1 * w1 + w2 * w2 + w3 * w3 + w4 * w4)) * imq
     dvbx = vby * wz - vbz * wy + g0 * (2 * q1 * q3 - 2 * q2 * q4)
     dvby = vbz * wx - vbx * wz - g0 * (2 * q1 * q2 + 2 * q3 * q4)
     dvbz = (vbx * wy - vby * wx
             - g0 * (2 * q1 * q1 + 2 * q4 * q4 - 1) + thrust)
     dwx = -(Ct * l * (w1 * w1 + w2 * w2 - w3 * w3 - w4 * w4)
-            - Iyy * wy * wz + Izz * wy * wz) / Ixx
+            - Iyy * wy * wz + Izz * wy * wz) * iIxx
     dwy = -(Ct * l * (w1 * w1 - w2 * w2 - w3 * w3 + w4 * w4)
-            + Ixx * wx * wz - Izz * wx * wz) / Iyy
+            + Ixx * wx * wz - Izz * wx * wz) * iIyy
     dwz = -(Cd * (w1 * w1 - w2 * w2 + w3 * w3 - w4 * w4)
-            - Ixx * wx * wy + Iyy * wx * wy) / Izz
+            - Ixx * wx * wy + Iyy * wx * wy) * iIzz
     return [dxq, dyq, dzq, dq1, dq2, dq3, dq4, dvbx, dvby, dvbz,
             dwx, dwy, dwz]
 
 
-def _jx_entries(p, x):
+def _jx_entries(p, x, pi=None):
     """Sparse df/dx: {(row, col): (B,) value} — mirrors
     models.quadrotor.dynamics_jacobians."""
     g0 = p[0]
     Ixx, Iyy, Izz = p[2], p[3], p[4]
+    _, iIxx, iIyy, iIzz = pi if pi is not None else _pinv(p)
     q1, q2, q3, q4 = x[3], x[4], x[5], x[6]
     vbx, vby, vbz = x[7], x[8], x[9]
     wx, wy, wz = x[10], x[11], x[12]
@@ -128,22 +139,22 @@ def _jx_entries(p, x):
         (9, 3): -4 * g0 * q1, (9, 6): -4 * g0 * q4,
         (9, 7): wy, (9, 8): -wx, (9, 10): -vby, (9, 11): vbx,
         # angular-rate rows
-        (10, 11): (Iyy - Izz) * wz / Ixx, (10, 12): (Iyy - Izz) * wy / Ixx,
-        (11, 10): (Izz - Ixx) * wz / Iyy, (11, 12): (Izz - Ixx) * wx / Iyy,
-        (12, 10): (Ixx - Iyy) * wy / Izz, (12, 11): (Ixx - Iyy) * wx / Izz,
+        (10, 11): (Iyy - Izz) * wz * iIxx, (10, 12): (Iyy - Izz) * wy * iIxx,
+        (11, 10): (Izz - Ixx) * wz * iIyy, (11, 12): (Izz - Ixx) * wx * iIyy,
+        (12, 10): (Ixx - Iyy) * wy * iIzz, (12, 11): (Ixx - Iyy) * wx * iIzz,
     }
     return J
 
 
-def _ju_rows(p, u):
+def _ju_rows(p, u, pi=None):
     """Sparse df/du rows: {row: [(col, (B,) value), ...]}."""
-    mq, Ixx, Iyy, Izz = p[1], p[2], p[3], p[4]
     Cd, Ct, l = p[5], p[6], p[7]
     w1, w2, w3, w4 = u[0], u[1], u[2], u[3]
-    tcm = 2.0 * Ct / mq
-    tlx = 2.0 * Ct * l / Ixx
-    tly = 2.0 * Ct * l / Iyy
-    tdz = 2.0 * Cd / Izz
+    imq, iIxx, iIyy, iIzz = pi if pi is not None else _pinv(p)
+    tcm = 2.0 * Ct * imq
+    tlx = 2.0 * Ct * l * iIxx
+    tly = 2.0 * Ct * l * iIyy
+    tdz = 2.0 * Cd * iIzz
     return {
         9: [(0, tcm * w1), (1, tcm * w2), (2, tcm * w3), (3, tcm * w4)],
         10: [(0, -tlx * w1), (1, -tlx * w2), (2, tlx * w3), (3, tlx * w4)],
@@ -218,17 +229,18 @@ def _prep_kernel(ns, x_ref, xn_ref, u_ref, yref_ref,
 def _vde_stage(p, dt, dtype, bshape, eye, x, u):
     """One stage of ERK4 + closed-form matrix VDE (shared by both prep
     kernels).  Returns (A, Bm, x_next)."""
-    k1 = jnp.stack(_dyn_rows(p, x, u))
-    J1 = _jx_entries(p, x)
+    pi = _pinv(p)     # 4 divides for the whole stage instead of ~44
+    k1 = jnp.stack(_dyn_rows(p, x, u, pi))
+    J1 = _jx_entries(p, x, pi)
     x2 = x + 0.5 * dt * k1
-    k2 = jnp.stack(_dyn_rows(p, x2, u))
-    J2 = _jx_entries(p, x2)
+    k2 = jnp.stack(_dyn_rows(p, x2, u, pi))
+    J2 = _jx_entries(p, x2, pi)
     x3 = x + 0.5 * dt * k2
-    k3 = jnp.stack(_dyn_rows(p, x3, u))
-    J3 = _jx_entries(p, x3)
+    k3 = jnp.stack(_dyn_rows(p, x3, u, pi))
+    J3 = _jx_entries(p, x3, pi)
     x4 = x + dt * k3
-    k4 = jnp.stack(_dyn_rows(p, x4, u))
-    J4 = _jx_entries(p, x4)
+    k4 = jnp.stack(_dyn_rows(p, x4, u, pi))
+    J4 = _jx_entries(p, x4, pi)
 
     K1 = _jx_dense(J1, dtype, bshape)
     K2 = _jx_mul(J2, eye + 0.5 * dt * K1)
@@ -236,7 +248,7 @@ def _vde_stage(p, dt, dtype, bshape, eye, x, u):
     K4 = _jx_mul(J4, eye + dt * K3)
     A = eye + (dt / 6.0) * (K1 + 2 * K2 + 2 * K3 + K4)
 
-    G = _ju_dense(_ju_rows(p, u), dtype, bshape)
+    G = _ju_dense(_ju_rows(p, u, pi), dtype, bshape)
     M1 = G
     M2 = G + _jx_mul(J2, 0.5 * dt * M1)
     M3 = G + _jx_mul(J3, 0.5 * dt * M2)
