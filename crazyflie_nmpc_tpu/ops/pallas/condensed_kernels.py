@@ -287,8 +287,9 @@ def expand2(A, B, c, dx_even, du0, block_b: int = 128,
 # fused KKT sweep on the condensed problem (dense cost + cross term)
 # ---------------------------------------------------------------------------
 
-def _kkt_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, Q_ref, S1T_ref,
-                   R00_ref, qx_ref, ruu_ref, ru_ref, Pt_ref, pt_ref, dx0_ref,
+def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
+                   Q_ref, S1T_ref, R00_ref, qx_ref, ruu_ref, ru_ref,
+                   Pt_ref, pt_ref, dx0_ref,
                    K_out, kff_out, L_out, Pc_out, dx_out, du_out, dxT_out,
                    P_scr, p_scr, K_all, kff_all, dx_scr):
     # `ablate` (frozenset of op names) is MEASUREMENT-ONLY: each named op
@@ -348,7 +349,11 @@ def _kkt_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, Q_ref, S1T_ref,
             QK = (PA if "QK" in ablate
                   else _mtm(Qux, K, NUC, NX, NX))
             P_new = Q_ref[j] + APA + QK
-            if "sym" not in ablate:
+            # P symmetrization costs 5.9% of the launch (SoL ablation) —
+            # sym_period > 1 re-symmetrizes only every period-th stage of
+            # each stage block (trace-time static), bounding the f32
+            # asymmetry drift at a fraction of the cost
+            if "sym" not in ablate and j % sym_period == 0:
                 P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
             p_new = qx_ref[j] + _mtv(A, m, NX, NX) + _mtv(K, Qu, NUC, NX)
 
@@ -392,7 +397,7 @@ def _kkt_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, Q_ref, S1T_ref,
 def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
                  pT_dense_diag, p_term, dx0, block_b: int = 128,
                  stages_per_step: int = 5, interpret: bool = False,
-                 ablate: frozenset = frozenset()):
+                 ablate: frozenset = frozenset(), sym_period: int = 1):
     """Fused dense-cost Riccati factorization + forward rollout over the
     condensed horizon.  qx/ru are the current (residual) linear terms;
     ruu_shift (M,8,·) is the diagonal part of R̄ incl. the IPM barrier
@@ -450,7 +455,7 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         pltpu.VMEM((NX, block_b), dtype),
     ]
     K, kff, L, Pc, dxs, dus, dxT = pl.pallas_call(
-        _ft.partial(_kkt_c2_kernel, ms, ngrid, ablate),
+        _ft.partial(_kkt_c2_kernel, ms, ngrid, ablate, sym_period),
         grid=(nb, 2 * ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
