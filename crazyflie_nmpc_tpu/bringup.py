@@ -541,6 +541,42 @@ def telemetry(seconds: float = 1.2, port: int = 47080):
                 "records": {f"0x{bid:X}": n for bid, n in counts.items()}}
 
 
+def session(panes):
+    """The reference's tmux workbench, re-expressed
+    (crazyflie_demo/scripts/tmux_create_panes + tmux_openinpane +
+    tmux_clear_panes): several nodes running side by side in one
+    session.  Here a "pane" is a named bringup composition run on its
+    own thread; the session starts them together, joins them all, and
+    returns per-pane results (the C-c-everything teardown of
+    tmux_clear_panes is the join — bringups are finite compositions,
+    not daemons).
+
+    panes: {pane_name: (bringup_name, *args)}.  Bringups that open UDP
+    endpoints must be given distinct ports (as distinct tmux panes
+    would).  Returns {pane_name: result-or-exception}.
+    """
+    import threading
+
+    results = {}
+
+    def run_pane(pane, name, args):
+        try:
+            results[pane] = BRINGUPS[name](*args)
+        except Exception as e:          # a crashed pane must not take
+            results[pane] = e           # down the session (tmux semantics)
+
+    threads = [
+        threading.Thread(target=run_pane, args=(pane, spec[0], spec[1:]),
+                         name=f"pane-{pane}", daemon=True)
+        for pane, spec in panes.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
 BRINGUPS = {
     "nmpc_predictor": nmpc_predictor,
     "telemetry": telemetry,

@@ -102,3 +102,28 @@ def test_high_level_mission_script():
                              "stabilizer/estimator": 2,
                              "stabilizer/controller": 2,
                              "kalman/resetEstimation": 1}
+
+
+def test_session_runs_panes_concurrently():
+    """The tmux-workbench equivalent (tmux_create_panes/openinpane/
+    clear_panes): two compositions side by side in one session, each on
+    its own 'pane' thread with its own UDP port, both results collected
+    (SURVEY section 2.4 misc row)."""
+    out = bringup.session({
+        "telemetry": ("telemetry", 0.6, 47171),
+        "teleop": ("teleop", 20, 47173),
+    })
+    assert set(out) == {"telemetry", "teleop"}
+    for pane, res in out.items():
+        assert not isinstance(res, Exception), (pane, res)
+    assert out["telemetry"]["records"]
+    assert out["teleop"]["device_setpoint"] is not None
+
+    # a crashing pane is isolated (tmux semantics): the session returns
+    # the exception for that pane and the healthy pane's result
+    out = bringup.session({
+        "bad": ("bag_play", "/nonexistent/no.bag"),
+        "ok": ("teleop", 10, 47175),
+    })
+    assert isinstance(out["bad"], Exception)
+    assert out["ok"]["device_setpoint"] is not None
