@@ -97,3 +97,62 @@ iyy="{float(p.Iyy)!r}" iyz="0.0" izz="{float(p.Izz)!r}" />
     </inertial>{visual}  </link>
 </robot>
 """
+
+
+def to_stl(params: QuadrotorParams | None = None, path: str | None = None,
+           body_radius: float = 0.02, prop_radius: float = 0.023,
+           height: float = 0.006, segments: int = 12) -> bytes:
+    """Procedurally generate a binary-STL visualization mesh for a
+    vehicle description — the framework-side stand-in for the
+    reference's shipped collada assets (crazyflie_description/meshes;
+    binary art assets are not re-created, but a dimensionally accurate
+    mesh derived from the MODEL constants is): a center disc plus four
+    rotor discs at the X-configuration arm positions.  The model's `l`
+    (export_ode_model.py:41) is the PER-AXIS moment arm — the torque
+    rows use Ct*l directly — so rotors sit at (+-l, +-l): radial
+    distance l*sqrt(2) ~ 46 mm for the CF2, its real center-to-rotor
+    arm.
+
+    Returns the STL bytes; writes them to `path` if given (the URI to
+    hand to `to_urdf(mesh=...)`).
+    """
+    import math
+    import struct as _st
+
+    p = params if params is not None else cf2_urdf()
+    arm = float(p.l)
+    tris = []
+
+    def disc(cx, cy, r):
+        """Closed cylinder (top+bottom fans + side wall)."""
+        top, bot = height / 2.0, -height / 2.0
+        for k in range(segments):
+            a0 = 2.0 * math.pi * k / segments
+            a1 = 2.0 * math.pi * (k + 1) / segments
+            x0, y0 = cx + r * math.cos(a0), cy + r * math.sin(a0)
+            x1, y1 = cx + r * math.cos(a1), cy + r * math.sin(a1)
+            tris.append(((0, 0, 1), (cx, cy, top), (x0, y0, top),
+                         (x1, y1, top)))
+            tris.append(((0, 0, -1), (cx, cy, bot), (x1, y1, bot),
+                         (x0, y0, bot)))
+            tris.append(((0, 0, 0), (x0, y0, bot), (x1, y1, bot),
+                         (x1, y1, top)))
+            tris.append(((0, 0, 0), (x0, y0, bot), (x1, y1, top),
+                         (x0, y0, top)))
+
+    disc(0.0, 0.0, body_radius)
+    for sx, sy in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+        disc(sx * arm, sy * arm, prop_radius)
+
+    out = bytearray(b"crazyflie_nmpc_tpu procedural mesh".ljust(80, b"\0"))
+    out += _st.pack("<I", len(tris))
+    for n, a, b, c in tris:
+        out += _st.pack("<3f", *n)
+        for v in (a, b, c):
+            out += _st.pack("<3f", *v)
+        out += _st.pack("<H", 0)
+    data = bytes(out)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data

@@ -195,3 +195,41 @@ def test_analytic_jacobians_match_jacfwd():
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(Ju), np.asarray(Ju_ref),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_procedural_mesh_stl(tmp_path):
+    """description.to_stl generates a valid binary STL whose geometry is
+    derived from the MODEL constants (rotor discs at the X-configuration
+    arm positions +-l/sqrt(2)) — the framework-side stand-in for the
+    reference's shipped collada meshes, referenced from to_urdf."""
+    import math
+    import struct
+
+    from crazyflie_nmpc_tpu.models import description as desc
+
+    p = desc.cf21_identified()
+    path = tmp_path / "cf.stl"
+    data = desc.to_stl(p, path=str(path), segments=8)
+    assert path.read_bytes() == data
+
+    (n_tris,) = struct.unpack_from("<I", data, 80)
+    assert len(data) == 84 + 50 * n_tris      # binary STL layout
+    assert n_tris == 5 * 4 * 8                # 5 closed discs x 4 tris/seg
+
+    # every vertex lies within the airframe envelope, and rotor-disc
+    # vertices reach the arm positions: per-axis offset l (the model's
+    # moment arm), radial distance l*sqrt(2)
+    arm = float(p.l) * math.sqrt(2.0)
+    xs = []
+    for t in range(n_tris):
+        off = 84 + 50 * t + 12
+        for v in range(3):
+            x, y, z = struct.unpack_from("<3f", data, off + 12 * v)
+            xs.append((x, y, z))
+    max_r = max(math.hypot(x, y) for x, y, _ in xs)
+    assert max_r <= arm + 0.023 + 1e-6
+    assert max_r >= arm                       # rotors actually out there
+
+    # and the URDF can reference the generated asset
+    doc = desc.to_urdf(p, mesh=f"file://{path}")
+    assert f"file://{path}" in doc
