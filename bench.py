@@ -243,6 +243,10 @@ def main():
             log(f"compiled parity probe failed: {type(e).__name__}: {e}")
             parity = {"error": f"{type(e).__name__}: {e}"}
 
+    coherence = run_coherence(b_sweep, certified, serving) if on_tpu else None
+    if coherence is not None:
+        log(f"run coherence: {coherence}")
+
     print(json.dumps({
         "metric": "nmpc_solves_per_s_n50",
         "value": round(best, 1),
@@ -259,7 +263,42 @@ def main():
         # Mosaic flush/aliasing + HBM-round-trip semantics the opt-in
         # test_tpu_compiled.py checks, captured in the driver artifact
         "compiled_parity": parity,
+        # self-audit: PERF.md's run-acceptance sanity checks applied to
+        # THIS run, so a stall-contaminated capture flags itself in the
+        # artifact instead of needing a cross-run comparison
+        "coherence": coherence,
     }))
+
+
+def run_coherence(b_sweep, certified, serving):
+    """Apply docs/PERF.md's run-acceptance sanity checks to this run.
+
+    A tunnel-stall-contaminated run (observed in round 4 and retracted
+    in round 3) has a signature: an internally inconsistent B-sweep,
+    the cheaper escalate16 config measuring SLOWER than escalate32, and
+    a serving p99 orders of magnitude above its p50.  Each check is a
+    boolean; `ok` is their AND.  A failing artifact should be re-run,
+    not trusted — and a passing one carries its own evidence.
+    Pure function (unit-tested in tests/test_runtime_extras.py)."""
+    checks = {}
+    rates = [b_sweep[k] for k in sorted(b_sweep, key=int)]
+    # B-sweep internally consistent: throughput varies smoothly with B on
+    # this kernel set (measured band ~226-273k); a >1.6x max/min spread
+    # or a non-positive rate means at least one point is contaminated
+    checks["b_sweep_consistent"] = bool(
+        rates and min(rates) > 0 and max(rates) / min(rates) < 1.6)
+    if certified and "esc16" in certified and "esc32" in certified:
+        # esc16 does strictly less work than esc32; allow 3% timing noise
+        checks["esc16_not_slower"] = bool(
+            certified["esc16"] >= 0.97 * certified["esc32"])
+    if serving and "sync_66hz" in (serving or {}):
+        s = serving["sync_66hz"]
+        # stall-contaminated serving shows p99 ~ seconds vs p50 ~ tens of
+        # ms (round-4 observed: p99 2.3 s); same-order means < 10x
+        checks["serving_p99_same_order"] = bool(
+            s["p99_ms"] < 10.0 * max(s["p50_ms"], 1e-9))
+    checks["ok"] = all(checks.values())
+    return checks
 
 
 def compiled_parity():

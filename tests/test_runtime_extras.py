@@ -277,3 +277,46 @@ def test_profiler_trace_capture(tmp_path):
         jax.block_until_ready(out)
     files = profiling.trace_files(d)
     assert files, f"no trace artifacts under {d}"
+
+
+def test_bench_run_coherence_self_audit():
+    """bench.run_coherence: the PERF.md run-acceptance sanity checks are
+    applied to the artifact itself, so a tunnel-stall-contaminated
+    capture (the round-3 329.7k retraction / round-4 contaminated-run
+    signature) flags itself instead of needing cross-run comparison."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import run_coherence
+
+    # a coherent round-4-class run (real captured numbers)
+    good = run_coherence(
+        b_sweep={"1024": 260800.0, "2048": 264800.0,
+                 "4096": 242400.0, "8192": 226300.0},
+        certified={"esc16": 182100.0, "esc32": 168600.0},
+        serving={"sync_66hz": {"p50_ms": 27.0, "p99_ms": 91.0}},
+    )
+    assert good["ok"] and good["b_sweep_consistent"]
+    assert good["esc16_not_slower"] and good["serving_p99_same_order"]
+
+    # the observed contaminated-run signature: inconsistent B-sweep,
+    # esc16 slower than esc32, serving p99 in seconds against a p50 in ms
+    bad = run_coherence(
+        b_sweep={"1024": 310000.0, "2048": 150000.0,
+                 "4096": 240000.0, "8192": 225000.0},
+        certified={"esc16": 150000.0, "esc32": 170000.0},
+        serving={"sync_66hz": {"p50_ms": 30.0, "p99_ms": 2300.0}},
+    )
+    assert not bad["ok"]
+    assert not bad["b_sweep_consistent"]
+    assert not bad["esc16_not_slower"]
+    assert not bad["serving_p99_same_order"]
+
+    # partial artifacts (serving probe failed / certified skipped) only
+    # run the checks whose inputs exist — no KeyError, ok still computed
+    partial = run_coherence(
+        b_sweep={"1024": 260000.0, "2048": 264000.0},
+        certified=None,
+        serving={"error": "RuntimeError: tunnel"},
+    )
+    assert partial["ok"] and set(partial) == {"b_sweep_consistent", "ok"}
