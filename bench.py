@@ -435,8 +435,13 @@ def serving_decomposition(spec, yref, yref_e, dt_dev,
         plant = {"x": xb}
         pstep = jax.jit(jax.vmap(
             lambda x, u: rk4_step(dynamics, spec.params, x, u, dt)))
-        pstep(plant["x"],
-              jax.device_put(jnp.zeros((batch, 4), jnp.float32), cpu))
+        # CPU-pinned compile: keep it out of the persistent cache — the
+        # XLA:CPU AOT loader it would go through intermittently segfaults
+        # (utils/cache.py), and a crash here loses the bench artifact
+        from crazyflie_nmpc_tpu.utils.cache import persistent_cache_disabled
+        with persistent_cache_disabled():
+            pstep(plant["x"],
+                  jax.device_put(jnp.zeros((batch, 4), jnp.float32), cpu))
 
         def source(k):
             return np.asarray(plant["x"])

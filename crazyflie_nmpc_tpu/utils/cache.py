@@ -11,6 +11,7 @@ to keep on shared scratch across pool machines.
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager
 
 
 def _cpu_fingerprint() -> str:
@@ -46,3 +47,27 @@ def setup_compilation_cache(base: str = "/tmp/jax_cache",
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
     return path
+
+
+@contextmanager
+def persistent_cache_disabled():
+    """Skip the persistent compilation cache for compiles in this context.
+
+    jax 0.9 has no per-backend cache scoping: once the cache is enabled
+    for the TPU (setup_compilation_cache above), CPU-*pinned* executables
+    compiled in the same process — e.g. the host-side simulated plant in
+    bench.py's serving decomposition — are persisted and re-loaded
+    through the same XLA:CPU AOT loader this module documents as
+    intermittently segfaulting ('Machine type ... doesn't match' loader
+    errors were observed in bench serving-phase logs).  A segfault there
+    at round close loses the driver's BENCH artifact.  Wrapping the CPU
+    jit+warm-up in this context keeps those executables process-local
+    while the TPU compiles outside it keep the cache."""
+    import jax
+
+    prev = bool(jax.config.jax_enable_compilation_cache)
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)

@@ -320,3 +320,23 @@ def test_bench_run_coherence_self_audit():
         serving={"error": "RuntimeError: tunnel"},
     )
     assert partial["ok"] and set(partial) == {"b_sweep_consistent", "ok"}
+
+
+def test_persistent_cache_disabled_context():
+    """utils.cache.persistent_cache_disabled: compiles inside the context
+    skip the persistent cache (CPU-pinned executables in mixed-backend
+    processes must not touch the flaky XLA:CPU AOT loader — see
+    utils/cache.py), and the flag is restored even on error."""
+    from crazyflie_nmpc_tpu.utils.cache import persistent_cache_disabled
+
+    prev = bool(jax.config.jax_enable_compilation_cache)
+    with persistent_cache_disabled():
+        assert not jax.config.jax_enable_compilation_cache
+        # a compile inside the context works and stays process-local
+        assert float(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))) == 2.0
+    assert bool(jax.config.jax_enable_compilation_cache) == prev
+
+    with pytest.raises(RuntimeError):
+        with persistent_cache_disabled():
+            raise RuntimeError("boom")
+    assert bool(jax.config.jax_enable_compilation_cache) == prev
