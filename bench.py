@@ -29,12 +29,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the fused-kernel graph is expensive to compile
-# on small hosts; repeated bench runs should only pay it once.  Keyed by
-# CPU fingerprint — cross-host XLA:CPU AOT artifacts segfault on load.
-from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache  # noqa: E402
-
-setup_compilation_cache()
+# run-acceptance self-audit (side-effect-free import; lives in the
+# package so tests can use it without executing bench's cache setup)
+from crazyflie_nmpc_tpu.utils.coherence import run_coherence  # noqa: F401
 
 
 def log(*a):
@@ -90,6 +87,16 @@ def measure_chained(step, states0, x0s, rtt, steps=20, rounds=5):
 
 
 def main():
+    # persistent compile cache: the fused-kernel graph is expensive to
+    # compile on small hosts; repeated bench runs should only pay it once.
+    # Keyed by CPU fingerprint — cross-host XLA:CPU AOT artifacts segfault
+    # on load.  Inside main() (not module level) so importing bench for
+    # run_coherence-style helpers never flips process-global cache state
+    # (ADVICE r4).
+    from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from crazyflie_nmpc_tpu.models import hover_state
     from crazyflie_nmpc_tpu.ops import ipm
     from crazyflie_nmpc_tpu.solver import (
@@ -270,37 +277,6 @@ def main():
     }))
 
 
-def run_coherence(b_sweep, certified, serving):
-    """Apply docs/PERF.md's run-acceptance sanity checks to this run.
-
-    A tunnel-stall-contaminated run (observed in round 4 and retracted
-    in round 3) has a signature: an internally inconsistent B-sweep,
-    the cheaper escalate16 config measuring SLOWER than escalate32, and
-    a serving p99 orders of magnitude above its p50.  Each check is a
-    boolean; `ok` is their AND.  A failing artifact should be re-run,
-    not trusted — and a passing one carries its own evidence.
-    Pure function (unit-tested in tests/test_runtime_extras.py)."""
-    checks = {}
-    rates = [b_sweep[k] for k in sorted(b_sweep, key=int)]
-    # B-sweep internally consistent: throughput varies smoothly with B on
-    # this kernel set (measured band ~226-273k); a >1.6x max/min spread
-    # or a non-positive rate means at least one point is contaminated
-    checks["b_sweep_consistent"] = bool(
-        rates and min(rates) > 0 and max(rates) / min(rates) < 1.6)
-    if certified and "esc16" in certified and "esc32" in certified:
-        # esc16 does strictly less work than esc32; allow 3% timing noise
-        checks["esc16_not_slower"] = bool(
-            certified["esc16"] >= 0.97 * certified["esc32"])
-    if serving and "sync_66hz" in (serving or {}):
-        s = serving["sync_66hz"]
-        # stall-contaminated serving shows p99 ~ seconds vs p50 ~ tens of
-        # ms (round-4 observed: p99 2.3 s); same-order means < 10x
-        checks["serving_p99_same_order"] = bool(
-            s["p99_ms"] < 10.0 * max(s["p50_ms"], 1e-9))
-    checks["ok"] = all(checks.values())
-    return checks
-
-
 def compiled_parity():
     """Driver-capturable compiled-mode parity (docs/TESTING.md records the
     opt-in suite; this puts the scalars in the BENCH artifact).
@@ -447,7 +423,12 @@ def serving_decomposition(spec, yref, yref_e, dt_dev,
             return np.asarray(plant["x"])
 
         def sink(k, cmd, u_apply):
-            plant["x"] = pstep(plant["x"], jax.device_put(u_apply, cpu))
+            # pin dtype/shape so the call HITS the warm-up trace above: a
+            # weak-type or dtype drift here would retrace pstep outside
+            # the persistent_cache_disabled guard and persist the compile
+            # through the flaky XLA:CPU AOT path (ADVICE r4)
+            u = jnp.asarray(u_apply, jnp.float32).reshape(batch, 4)
+            plant["x"] = pstep(plant["x"], jax.device_put(u, cpu))
 
         return plant, source, sink
 

@@ -1,0 +1,61 @@
+"""Run-acceptance coherence checks for the bench artifact.
+
+docs/PERF.md's timing methodology (round 4) defines the signature of a
+tunnel-stall-contaminated capture: an internally inconsistent B-sweep,
+the cheaper escalate16 config measuring SLOWER than escalate32, and a
+serving p99 orders of magnitude above its p50.  `run_coherence` applies
+those checks to a single run so the artifact flags itself (`ok: false`)
+instead of needing a cross-run comparison — the self-audit that replaced
+round 3's retracted 329.7k capture workflow.
+
+Lives here (not in bench.py) so tests can import it without executing
+bench's module-level compilation-cache setup (ADVICE r4: importing bench
+enabled the persistent cache for the rest of the test process, exposing
+later CPU-pinned compiles to the flaky XLA:CPU AOT loader).
+"""
+
+from __future__ import annotations
+
+
+def run_coherence(b_sweep, certified, serving):
+    """Apply docs/PERF.md's run-acceptance sanity checks to one run.
+
+    Each check is a boolean; `ok` is their AND.  Checks whose inputs are
+    missing (a probe crashed or was skipped) are recorded in
+    `checks_skipped` and force `ok` to None — "nothing contradicts this
+    run" is not the same claim as "this run passed its audit", and a run
+    whose serving probe crashed outright is exactly the contaminated
+    case the audit exists to flag (ADVICE r4).  A failing artifact
+    should be re-run, not trusted; a passing one carries its own
+    evidence.  Pure function (unit-tested in tests/test_runtime_extras).
+    """
+    checks = {}
+    skipped = []
+    rates = [b_sweep[k] for k in sorted(b_sweep, key=int)] if b_sweep else []
+    # B-sweep internally consistent: throughput varies smoothly with B on
+    # this kernel set (measured band ~226-273k); a >1.6x max/min spread
+    # or a non-positive rate means at least one point is contaminated
+    if rates:
+        checks["b_sweep_consistent"] = bool(
+            min(rates) > 0 and max(rates) / min(rates) < 1.6)
+    else:
+        skipped.append("b_sweep_consistent")
+    if certified and "esc16" in certified and "esc32" in certified:
+        # esc16 does strictly less work than esc32; allow 3% timing noise
+        checks["esc16_not_slower"] = bool(
+            certified["esc16"] >= 0.97 * certified["esc32"])
+    else:
+        skipped.append("esc16_not_slower")
+    if serving and "sync_66hz" in (serving or {}):
+        s = serving["sync_66hz"]
+        # stall-contaminated serving shows p99 ~ seconds vs p50 ~ tens of
+        # ms (round-4 observed: p99 2.3 s); same-order means < 10x
+        checks["serving_p99_same_order"] = bool(
+            s["p99_ms"] < 10.0 * max(s["p50_ms"], 1e-9))
+    else:
+        skipped.append("serving_p99_same_order")
+    checks["checks_skipped"] = skipped
+    checks["ok"] = (None if skipped
+                    else all(v for k, v in checks.items()
+                             if k != "checks_skipped"))
+    return checks

@@ -280,14 +280,14 @@ def test_profiler_trace_capture(tmp_path):
 
 
 def test_bench_run_coherence_self_audit():
-    """bench.run_coherence: the PERF.md run-acceptance sanity checks are
-    applied to the artifact itself, so a tunnel-stall-contaminated
-    capture (the round-3 329.7k retraction / round-4 contaminated-run
-    signature) flags itself instead of needing cross-run comparison."""
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
-    from bench import run_coherence
+    """utils.coherence.run_coherence: the PERF.md run-acceptance sanity
+    checks are applied to the artifact itself, so a tunnel-stall-
+    contaminated capture (the round-3 329.7k retraction / round-4
+    contaminated-run signature) flags itself instead of needing
+    cross-run comparison.  Imported from the package, NOT from bench —
+    importing bench must never flip process-global cache state
+    (ADVICE r4)."""
+    from crazyflie_nmpc_tpu.utils.coherence import run_coherence
 
     # a coherent round-4-class run (real captured numbers)
     good = run_coherence(
@@ -298,6 +298,7 @@ def test_bench_run_coherence_self_audit():
     )
     assert good["ok"] and good["b_sweep_consistent"]
     assert good["esc16_not_slower"] and good["serving_p99_same_order"]
+    assert good["checks_skipped"] == []
 
     # the observed contaminated-run signature: inconsistent B-sweep,
     # esc16 slower than esc32, serving p99 in seconds against a p50 in ms
@@ -312,14 +313,21 @@ def test_bench_run_coherence_self_audit():
     assert not bad["esc16_not_slower"]
     assert not bad["serving_p99_same_order"]
 
-    # partial artifacts (serving probe failed / certified skipped) only
-    # run the checks whose inputs exist — no KeyError, ok still computed
+    # partial artifacts (serving probe failed / certified skipped): the
+    # checks whose inputs exist still run (no KeyError), the missing ones
+    # are RECORDED, and ok degrades to None — "nothing contradicts this
+    # run" must be distinguishable from "this run passed its audit"
+    # (ADVICE r4: a run whose serving probe crashed is exactly the
+    # contaminated case the audit exists to flag)
     partial = run_coherence(
         b_sweep={"1024": 260000.0, "2048": 264000.0},
         certified=None,
         serving={"error": "RuntimeError: tunnel"},
     )
-    assert partial["ok"] and set(partial) == {"b_sweep_consistent", "ok"}
+    assert partial["b_sweep_consistent"]
+    assert partial["ok"] is None
+    assert set(partial["checks_skipped"]) == {
+        "esc16_not_slower", "serving_p99_same_order"}
 
 
 def test_persistent_cache_disabled_context():
