@@ -96,6 +96,23 @@ class IPMConfig:
                                                metadata=dict(static=True))
     escalate_capacity: int = dataclasses.field(default=0,
                                                metadata=dict(static=True))
+    # Compressed (bf16) HBM streams for the fused condensed kernels
+    # (`ipm_fast.solve_batched` condense=2 in-VMEM path ONLY; ignored by
+    # `ops.ipm.solve`, the windowed long-horizon kernels, and the
+    # escalation re-solve, which stays full-precision so certified
+    # operating points keep their exact cleanup pass).  The round-4
+    # speed-of-light study measured both iteration kernels bandwidth-
+    # floor-bound — "fewer bytes is the only lever" (docs/PERF.md):
+    #   compress_gains: K/L/Pc written bf16 by the kkt sweep, re-read
+    #     bf16 by the corrector.  QP data stays exact; the corrector
+    #     direction becomes an inexact-Newton refinement.
+    #   compress_ab: the condensed Abar/Bbar/cbar stage stream stored
+    #     bf16 (Abar deviation-coded as Abar − I).  This perturbs the
+    #     QP itself — accuracy adjudication tables in docs/PERF.md.
+    compress_gains: bool = dataclasses.field(default=False,
+                                             metadata=dict(static=True))
+    compress_ab: bool = dataclasses.field(default=False,
+                                          metadata=dict(static=True))
 
 
 def certified_config(capacity: int = 0) -> IPMConfig:

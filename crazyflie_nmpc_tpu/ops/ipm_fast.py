@@ -19,6 +19,7 @@ in tests/test_pallas_kernels.py.
 
 from __future__ import annotations
 
+import functools as _ft
 import warnings
 from typing import Any, NamedTuple
 
@@ -336,10 +337,41 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         # per-50-stages with the clamp; unclamped it VMEM-OOMs)
         kern["stages_per_step"] = ms_c2
     cond2 = condense == 2
+    comp_g = comp_ab = False
     if cond2:
-        kkt_c2 = ck.kkt_sweep_c2_win if use_win else ck.kkt_sweep_c2
-        corr_c2 = (ck.corrector_sweep_c2_win if use_win
-                   else ck.corrector_sweep_c2)
+        # compressed bf16 HBM streams (IPMConfig docstring; measured
+        # tables in docs/PERF.md round 5): supported on the in-VMEM fused
+        # two-launch path only — the path the bandwidth-floor study
+        # covers.  The windowed long-horizon kernels and the fused-iter
+        # mega-kernel run full-precision.
+        comp_g = bool(config.compress_gains)
+        comp_ab = bool(config.compress_ab)
+        if (comp_g or comp_ab) and use_iter:
+            raise ValueError("compress_gains/compress_ab are not "
+                             "supported with fused_iter=True (gains "
+                             "never leave VMEM there)")
+        if (comp_g or comp_ab) and use_win:
+            warnings.warn(
+                "compress_gains/compress_ab ignored: the horizon "
+                "selected the HBM-windowed c2 kernels, which run "
+                "full-precision", stacklevel=2)
+            comp_g = comp_ab = False
+        if use_win:
+            kkt_c2 = ck.kkt_sweep_c2_win
+            corr_c2 = ck.corrector_sweep_c2_win
+        else:
+            gdt = jnp.bfloat16 if comp_g else None
+            kkt_c2 = _ft.partial(ck.kkt_sweep_c2, gains_dtype=gdt,
+                                 a_dev=comp_ab)
+            corr_c2 = _ft.partial(ck.corrector_sweep_c2, a_dev=comp_ab)
+        if comp_ab:
+            # deviation-coded A: bf16 rounding lands on the O(dt*J)
+            # deviation, not the unit diagonal (condensed_kernels note)
+            eye = jnp.eye(nx, dtype=dtype)[None, :, :, None]
+            Abar = (Abar - eye).astype(jnp.bfloat16)
+            Bbar = Bbar.astype(jnp.bfloat16)
+    cstream = ((lambda z: z.astype(jnp.bfloat16)) if comp_ab
+               else (lambda z: z))
 
     finite_l = jnp.isfinite(qp["lb"])
     finite_u = jnp.isfinite(qp["ub"])
@@ -390,8 +422,8 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         # ---- predictor: factorization + affine backward + forward rollout
         if cond2:  # dense-cost condensed sweep, one launch
             K, kff_a, L, Pc, ddx_a, ddu_a = kkt_c2(
-                Abar, Bbar, -r2[1:], Qbar, S1T, R00, r1x[:-1], ruu_shift,
-                rt1u, pT_diag, r1x[-1], -r2[0], **kern)
+                Abar, Bbar, cstream(-r2[1:]), Qbar, S1T, R00, r1x[:-1],
+                ruu_shift, rt1u, pT_diag, r1x[-1], -r2[0], **kern)
         elif fused:  # one kernel launch
             K, kff_a, L, Pc, ddx_a, ddu_a = rk.kkt_sweep(
                 A, Bm, -r2[1:], qxx, r1x[:-1], ruu_shift, rt1u,
@@ -433,8 +465,8 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                   - jnp.where(finite_u, (r5u_c + lam_u * r4) / s_u, 0.0))
         if cond2:
             ddx, ddu = corr_c2(
-                Abar, Bbar, -r2[1:], r1x[:-1], rt1u_c, K, L, Pc, r1x[-1],
-                -r2[0], **kern)
+                Abar, Bbar, cstream(-r2[1:]), r1x[:-1], rt1u_c, K, L, Pc,
+                r1x[-1], -r2[0], **kern)
         elif fused:
             ddx, ddu = rk.corrector_sweep(
                 A, Bm, -r2[1:], r1x[:-1], rt1u_c, K, L, Pc, r1x[-1],
@@ -477,7 +509,7 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
                             0.0)
             rt1u_g = (jnp.where(finite_l, -t_l / s_l, 0.0)
                       + jnp.where(finite_u, t_u / s_u, 0.0))
-            z_c = jnp.zeros_like(r2[1:])
+            z_c = cstream(jnp.zeros_like(r2[1:]))
             z_qx = jnp.zeros_like(r1x[:-1])
             z_pt = jnp.zeros_like(r1x[-1])
             z_dx0 = jnp.zeros_like(r2[0])
@@ -598,6 +630,10 @@ def _solve_core(qp: dict, config: IPMConfig = IPMConfig(),
         # effective (possibly VMEM-clamped) stage blocking of the c2 sweeps
         stats["c2_stages_per_step"] = kern["stages_per_step"]
         stats["c2_windowed"] = int(use_win)
+        # which bf16 stream compressions were ACTUALLY active (they are
+        # dropped on the windowed path — see above)
+        stats["c2_compress_gains"] = int(comp_g)
+        stats["c2_compress_ab"] = int(comp_ab)
 
     if cond2:
         # expand: interior states were eliminated exactly through their

@@ -56,6 +56,45 @@ NLC = NUC * (NUC + 1) // 2      # packed Cholesky entries for 8x8
 
 
 # ---------------------------------------------------------------------------
+# compressed (bf16) HBM streams
+# ---------------------------------------------------------------------------
+#
+# The round-4 speed-of-light study (docs/PERF.md, tools/ipm_iter_sol.py)
+# measured `corrector_sweep_c2` AT its HBM streaming floor and `kkt_sweep_c2`
+# with a 0.74 ms bandwidth floor out of a 1.377 ms launch — "fewer bytes is
+# the only lever" for both.  These helpers implement that lever: selected
+# streams are stored in HBM as bfloat16 (half the bytes) and upcast to the
+# compute dtype at load; ALL in-kernel arithmetic stays f32 (or f64 in
+# interpret-mode tests).  Two independent knobs, adjudicated by measurement
+# (IPMConfig.compress_gains / compress_ab; accuracy tables in docs/PERF.md):
+#
+#   * gains: K / L / Pc are written bf16 by the kkt sweep and re-read bf16
+#     by the corrector (the QP data stays exact; the corrector direction
+#     becomes slightly inexact — an inexact-Newton refinement step).
+#   * ab: the condensed stage stream Abar / Bbar / cbar is stored bf16 —
+#     this perturbs the QP itself, so Abar is DEVIATION-CODED: the kernel
+#     receives D = Abar − I and reconstructs A = D + I at load, putting the
+#     bf16 rounding on the O(dt·J) deviation instead of the unit diagonal
+#     (~10-30x smaller absolute error at zero byte cost).
+
+
+def _ld(v, cdt):
+    """Upcast a loaded (possibly bf16-compressed) block to the compute
+    dtype; identity for uncompressed streams."""
+    return v.astype(cdt) if v.dtype != cdt else v
+
+
+def _ld_A(A_ref, j, cdt, a_dev, eye):
+    """Load a stage's A block, undoing deviation coding when active."""
+    A = _ld(A_ref[j], cdt)
+    return A + eye if a_dev else A
+
+
+def _eye_nx(cdt):
+    return jnp.eye(NX, dtype=cdt)[:, :, None]
+
+
+# ---------------------------------------------------------------------------
 # generic packed Cholesky (column-major lower packing, entries are (B,) lanes)
 # ---------------------------------------------------------------------------
 
@@ -287,8 +326,8 @@ def expand2(A, B, c, dx_even, du0, block_b: int = 128,
 # fused KKT sweep on the condensed problem (dense cost + cross term)
 # ---------------------------------------------------------------------------
 
-def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
-                   Q_ref, S1T_ref, R00_ref, qx_ref, ruu_ref, ru_ref,
+def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, a_dev, A_ref, B_ref,
+                   c_ref, Q_ref, S1T_ref, R00_ref, qx_ref, ruu_ref, ru_ref,
                    Pt_ref, pt_ref, dx0_ref,
                    K_out, kff_out, L_out, Pc_out, dx_out, du_out, dxT_out,
                    P_scr, p_scr, K_all, kff_all, dx_scr):
@@ -296,7 +335,11 @@ def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
     # is replaced by a cheap same-shape stand-in so its cost can be read
     # off by re-timing (the op-deletion ablation of docs/PERF.md).  Empty
     # (the only value production code passes) traces the exact original.
+    # `a_dev` marks the A stream as deviation-coded (compressed-stream
+    # mode — see the module-top note): A = A_ref + I at load.
     n = pl.program_id(1)
+    cdt = Q_ref.dtype          # compute dtype (Q is never compressed)
+    eye_a = _eye_nx(cdt) if a_dev else None
 
     @pl.when(n == 0)
     def _():
@@ -308,9 +351,9 @@ def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
     def _backward_phase():
         base = (ngrid - 1 - n) * ms
         for j in range(ms - 1, -1, -1):
-            A = A_ref[j]
-            Bm = B_ref[j]
-            c = c_ref[j]
+            A = _ld_A(A_ref, j, cdt, a_dev, eye_a)
+            Bm = _ld(B_ref[j], cdt)
+            c = _ld(c_ref[j], cdt)
             P = P_scr[:]
             p = p_scr[:]
 
@@ -357,10 +400,14 @@ def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
                 P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
             p_new = qx_ref[j] + _mtv(A, m, NX, NX) + _mtv(K, Qu, NUC, NX)
 
-            K_out[j] = K
+            # gains may be emitted bf16 (compress_gains): the corrector
+            # re-reads them at half the bytes; the in-kernel recursion and
+            # this kernel's own forward phase stay full-precision (the
+            # f32 K_all/kff_all scratch)
+            K_out[j] = K.astype(K_out.dtype)
             kff_out[j] = kff
-            L_out[j] = L
-            Pc_out[j] = Pc
+            L_out[j] = L.astype(L_out.dtype)
+            Pc_out[j] = Pc.astype(Pc_out.dtype)
             K_all[pl.dslice(base + j, 1)] = K[None]
             kff_all[pl.dslice(base + j, 1)] = kff[None]
 
@@ -380,11 +427,13 @@ def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
             kff = kff_all[pl.dslice(base + j, 1)][0]
             if "fwd" in ablate:
                 du = kff
-                dx_next = dx + c_ref[j]
+                dx_next = dx + _ld(c_ref[j], cdt)
             else:
                 du = _mv(K, dx, NUC, NX) + kff
-                dx_next = (_mv(A_ref[j], dx, NX, NX)
-                           + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
+                dx_next = (_mv(_ld_A(A_ref, j, cdt, a_dev, eye_a), dx,
+                               NX, NX)
+                           + _mv(_ld(B_ref[j], cdt), du, NX, NUC)
+                           + _ld(c_ref[j], cdt))
             dx_out[j] = dx
             du_out[j] = du
             dx_scr[:] = dx_next
@@ -397,15 +446,22 @@ def _kkt_c2_kernel(ms, ngrid, ablate, sym_period, A_ref, B_ref, c_ref,
 def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
                  pT_dense_diag, p_term, dx0, block_b: int = 128,
                  stages_per_step: int = 5, interpret: bool = False,
-                 ablate: frozenset = frozenset(), sym_period: int = 1):
+                 ablate: frozenset = frozenset(), sym_period: int = 1,
+                 gains_dtype=None, a_dev: bool = False):
     """Fused dense-cost Riccati factorization + forward rollout over the
     condensed horizon.  qx/ru are the current (residual) linear terms;
     ruu_shift (M,8,·) is the diagonal part of R̄ incl. the IPM barrier
     shift.  Returns (K (M,8,13,·), kff, L (M,36,·), Pc (M,13,·),
-    dx (M+1,13,·), du (M,8,·))."""
+    dx (M+1,13,·), du (M,8,·)).
+
+    Compressed streams (module-top note): `gains_dtype=jnp.bfloat16`
+    emits K/L/Pc at half the bytes for the corrector to re-read;
+    `a_dev=True` marks Abar as deviation-coded (callers pass Abar − I,
+    which may itself be bf16 along with Bbar/cbar)."""
     M = Abar.shape[0]
     Btot = Abar.shape[-1]
-    dtype = Abar.dtype
+    dtype = Qbar.dtype
+    gdt = gains_dtype or dtype
     ms = stages_per_step
     while M % ms != 0:
         ms -= 1
@@ -431,10 +487,10 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         return pl.BlockSpec(sp + (block_b,), idx, memory_space=pltpu.VMEM)
 
     out_shape = (
-        jax.ShapeDtypeStruct((M, NUC, NX, Btot), dtype),
+        jax.ShapeDtypeStruct((M, NUC, NX, Btot), gdt),
         jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
-        jax.ShapeDtypeStruct((M, NLC, Btot), dtype),
-        jax.ShapeDtypeStruct((M, NX, Btot), dtype),
+        jax.ShapeDtypeStruct((M, NLC, Btot), gdt),
+        jax.ShapeDtypeStruct((M, NX, Btot), gdt),
         jax.ShapeDtypeStruct((M, NX, Btot), dtype),
         jax.ShapeDtypeStruct((M, NUC, Btot), dtype),
         jax.ShapeDtypeStruct((NX, Btot), dtype),
@@ -455,7 +511,7 @@ def kkt_sweep_c2(Abar, Bbar, cbar, Qbar, S1T, R00, qx, ruu_shift, ru,
         pltpu.VMEM((NX, block_b), dtype),
     ]
     K, kff, L, Pc, dxs, dus, dxT = pl.pallas_call(
-        _ft.partial(_kkt_c2_kernel, ms, ngrid, ablate, sym_period),
+        _ft.partial(_kkt_c2_kernel, ms, ngrid, ablate, sym_period, a_dev),
         grid=(nb, 2 * ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1076,12 +1132,17 @@ def iter_sweep_c2(Abar, Bbar, c_res, Qbar, S1T, R00, qx, ruu, r1u,
 # fused corrector sweep on the condensed problem
 # ---------------------------------------------------------------------------
 
-def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
-                    K_ref, L_ref, Pc_ref, pt_ref, dx0_ref,
+def _corr_c2_kernel(ms, ngrid, ablate, a_dev, A_ref, B_ref, c_ref, qx_ref,
+                    ru_ref, K_ref, L_ref, Pc_ref, pt_ref, dx0_ref,
                     dx_out, du_out, dxT_out, p_scr, kff_all, K_all,
                     dx_scr):
-    # `ablate` is MEASUREMENT-ONLY — see _kkt_c2_kernel
+    # `ablate` is MEASUREMENT-ONLY — see _kkt_c2_kernel.  A/B/c and
+    # K/L/Pc may arrive bf16-compressed (module-top note): loads upcast
+    # to the compute dtype; K is parked in scratch at its STORED dtype so
+    # compressed gains also halve the forward-phase VMEM footprint.
     n = pl.program_id(1)
+    cdt = qx_ref.dtype         # compute dtype (qx is never compressed)
+    eye_a = _eye_nx(cdt) if a_dev else None
 
     @pl.when(n == 0)
     def _():
@@ -1091,15 +1152,16 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
     def _backward_phase():
         base = (ngrid - 1 - n) * ms
         for j in range(ms - 1, -1, -1):
-            A = A_ref[j]
-            Bm = B_ref[j]
-            K = K_ref[j]
+            A = _ld_A(A_ref, j, cdt, a_dev, eye_a)
+            Bm = _ld(B_ref[j], cdt)
+            K_raw = K_ref[j]
+            K = _ld(K_raw, cdt)
             p = p_scr[:]
-            m = p + Pc_ref[j]
+            m = p + _ld(Pc_ref[j], cdt)
             Qu = (ru_ref[j] if "Qu" in ablate
                   else ru_ref[j] + _mtv(Bm, m, NX, NUC))
             kff = -Qu if "solve" in ablate else -_cho_solve_n_vec(
-                L_ref[j], Qu, NUC)
+                _ld(L_ref[j], cdt), Qu, NUC)
             if "pnew" in ablate:
                 p_new = qx_ref[j] + m
             else:
@@ -1111,7 +1173,7 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
             # through the forward `both` spec was 12% of its bytes; the
             # VMEM cost equals the kkt kernel's own K_all scratch, so the
             # shared envelope clamp is unchanged
-            K_all[pl.dslice(base + j, 1)] = K[None]
+            K_all[pl.dslice(base + j, 1)] = K_raw[None]
             p_scr[:] = p_new
 
     @pl.when(n == ngrid)
@@ -1126,12 +1188,14 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
             kff = kff_all[pl.dslice(base + j, 1)][0]
             if "fwd" in ablate:
                 du = kff
-                dx_next = dx + c_ref[j]
+                dx_next = dx + _ld(c_ref[j], cdt)
             else:
-                K = K_all[pl.dslice(base + j, 1)][0]
+                K = _ld(K_all[pl.dslice(base + j, 1)][0], cdt)
                 du = _mv(K, dx, NUC, NX) + kff
-                dx_next = (_mv(A_ref[j], dx, NX, NX)
-                           + _mv(B_ref[j], du, NX, NUC) + c_ref[j])
+                dx_next = (_mv(_ld_A(A_ref, j, cdt, a_dev, eye_a), dx,
+                               NX, NX)
+                           + _mv(_ld(B_ref[j], cdt), du, NX, NUC)
+                           + _ld(c_ref[j], cdt))
             dx_out[j] = dx
             du_out[j] = du
             dx_scr[:] = dx_next
@@ -1142,12 +1206,16 @@ def _corr_c2_kernel(ms, ngrid, ablate, A_ref, B_ref, c_ref, qx_ref, ru_ref,
 def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
                        block_b: int = 128, stages_per_step: int = 5,
                        interpret: bool = False,
-                       ablate: frozenset = frozenset()):
+                       ablate: frozenset = frozenset(),
+                       a_dev: bool = False):
     """Vector backward pass + forward rollout with the stored condensed
-    factorization.  Returns (dx (M+1,13,·), du (M,8,·))."""
+    factorization.  Returns (dx (M+1,13,·), du (M,8,·)).
+
+    Abar/Bbar/cbar and K/L/Pc may be bf16-compressed streams (module-top
+    note); a_dev marks Abar as deviation-coded (Abar − I)."""
     M = Abar.shape[0]
     Btot = Abar.shape[-1]
-    dtype = Abar.dtype
+    dtype = qx.dtype
     ms = stages_per_step
     while M % ms != 0:
         ms -= 1
@@ -1173,7 +1241,7 @@ def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
         return pl.BlockSpec(sp + (block_b,), idx, memory_space=pltpu.VMEM)
 
     dxs, dus, dxT = pl.pallas_call(
-        _ft.partial(_corr_c2_kernel, ms, ngrid, ablate),
+        _ft.partial(_corr_c2_kernel, ms, ngrid, ablate, a_dev),
         grid=(nb, 2 * ngrid),
         in_specs=[both((NX, NX)), both((NX, NUC)), fwd((NX,)),
                   bwd((NX,)), bwd((NUC,)), bwd((NUC, NX)), bwd((NLC,)),
@@ -1184,7 +1252,9 @@ def corrector_sweep_c2(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0,
                    jax.ShapeDtypeStruct((NX, Btot), dtype)),
         scratch_shapes=[pltpu.VMEM((NX, block_b), dtype),
                         pltpu.VMEM((M, NUC, block_b), dtype),
-                        pltpu.VMEM((M, NUC, NX, block_b), dtype),
+                        # K parks at its STORED dtype — bf16 gains halve
+                        # this scratch term too
+                        pltpu.VMEM((M, NUC, NX, block_b), K.dtype),
                         pltpu.VMEM((NX, block_b), dtype)],
         interpret=interpret,
     )(Abar, Bbar, cbar, qx, ru, K, L, Pc, p_term, dx0)

@@ -706,3 +706,75 @@ def test_ipm_fast_windowed_matches_fused():
         np.testing.assert_allclose(np.asarray(win.lam_l),
                                    np.asarray(base.lam_l),
                                    rtol=2e-5, atol=2e-5)
+
+
+def _bounded_qp_batch(seed=8):
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    qps = []
+    for k in keys:
+        diag, dense = random_diag_lq(k)
+        _, du_ref = riccati.solve_lq(
+            A=dense["A"], B=dense["B"], c=dense["c"], Qxx=dense["Qxx"],
+            qx=dense["qx"], Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+            P_term=dense["P_term"], p_term=dense["p_term"],
+            dx0=dense["dx0"])
+        lim = 0.5 * float(jnp.max(jnp.abs(du_ref)))
+        qps.append(QPData(A=dense["A"], B=dense["B"], c=dense["c"],
+                          Qxx=dense["Qxx"], qx=dense["qx"],
+                          Ruu=dense["Ruu"], ru=dense["ru"], S=dense["S"],
+                          P=dense["P_term"], p=dense["p_term"],
+                          lb=jnp.full((N, NUD), -lim),
+                          ub=jnp.full((N, NUD), lim), dx0=dense["dx0"]))
+    return jax.tree.map(
+        lambda *xs: jnp.stack(xs).astype(jnp.float32), *qps)
+
+
+def test_compressed_streams_bounded_accuracy():
+    """bf16 compressed HBM streams (IPMConfig.compress_gains/compress_ab;
+    ops/pallas/condensed_kernels.py module note): interpret-mode run on
+    bounded QPs — solutions stay finite and within the bf16-perturbation
+    scale of the uncompressed path, and stats record which compressions
+    were active.  Accuracy ADJUDICATION (oracle certification + flight
+    divergence on the real compiled kernels) is hardware-side:
+    tools/compress_streams.py; tables in docs/PERF.md."""
+    batched = _bounded_qp_batch()
+    qp = ipm_fast.from_qpdata(batched)
+    base = ipm_fast.solve_batched(qp, ipm.IPMConfig(iters=8),
+                                  condense=2, **KERN)
+    scale = float(jnp.max(jnp.abs(base.du)))
+    for kw, g, a in ((dict(compress_gains=True), 1, 0),
+                     (dict(compress_ab=True), 0, 1),
+                     (dict(compress_gains=True, compress_ab=True), 1, 1)):
+        sol = ipm_fast.solve_batched(qp, ipm.IPMConfig(iters=8, **kw),
+                                     condense=2, **KERN)
+        assert int(sol.stats["c2_compress_gains"]) == g
+        assert int(sol.stats["c2_compress_ab"]) == a
+        du = np.asarray(sol.du)
+        assert np.isfinite(du).all()
+        rel = np.abs(du - np.asarray(base.du)).max() / scale
+        # bf16 streams perturb the solve at ~2^-8-per-entry scale; a few
+        # percent relative after 8 iterations is the measured envelope
+        # (order-of-magnitude guard, not an accuracy claim)
+        assert rel < 5e-2, rel
+        # uncompressed carries/multipliers stay exactly representable
+        assert sol.lam_l.dtype == base.lam_l.dtype
+
+
+def test_compressed_streams_guards():
+    """Compression is in-VMEM-fused-path-only: the windowed kernels drop
+    it (with a warning + stats flag 0), fused_iter raises."""
+    import warnings as _w
+
+    batched = _bounded_qp_batch(seed=9)
+    qp = ipm_fast.from_qpdata(batched)
+    cfg = ipm.IPMConfig(iters=2, compress_gains=True, compress_ab=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sol = ipm_fast.solve_batched(qp, cfg, condense=2, windowed=True,
+                                     **KERN)
+    assert int(sol.stats["c2_compress_gains"]) == 0
+    assert int(sol.stats["c2_compress_ab"]) == 0
+    assert any("compress" in str(w.message) for w in rec)
+    with pytest.raises(ValueError, match="fused_iter"):
+        ipm_fast.solve_batched(qp, cfg, condense=2, fused_iter=True,
+                               **KERN)
