@@ -377,13 +377,43 @@ def thrust_identification(steps: int = 100, port: int = 47054,
 
 
 def high_level_mission(port: int = 47056):
-    """test_high_level.py: enable the high-level commander + Mellinger
-    controller + EKF via params, reset the estimator, then a scripted
-    takeoff(0.5 m, 5 s) → land → stop mission over the wire
-    (test_high_level.py:13-23,50)."""
-    from crazyflie_nmpc_tpu import native
+    """test_high_level.py FLOWN over the wire: enable the high-level
+    commander + Mellinger controller + EKF via params, then takeoff →
+    upload a polynomial trajectory → startTrajectory → land → stop —
+    with the vehicle side EXECUTING every command through the onboard
+    cascade (native.FlyingFirmwareSim), so the mission produces motion,
+    not just acks (test_high_level.py:13-23,50;
+    crazyflie_server.cpp:920-992; uav_trajectory.py:54-84).
 
-    with native.FirmwareSim(port).serve() as fw, \
+    Wire phases run under the firmware's real-time serve loop; flight
+    phases fast-forward simulated time, so the whole mission returns in
+    seconds.  Returns the command log, the params, and flight evidence:
+    flown tick count, max tracking error vs the Polynomial4D evaluation,
+    and the final (landed) position."""
+    import time
+
+    import numpy as np
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.utils import trajectories as traj
+
+    def minjerk_piece(p0, p1, T):
+        """Quintic min-jerk segment as one poly4d piece (4, 8)."""
+        c = np.zeros((4, 8))
+        for a in range(3):
+            d = p1[a] - p0[a]
+            c[a, 0] = p0[a]
+            c[a, 3] = 10 * d / T**3
+            c[a, 4] = -15 * d / T**4
+            c[a, 5] = 6 * d / T**5
+        return c
+
+    durations = np.array([2.0, 2.0])
+    coeffs = np.stack([
+        minjerk_piece((0.0, 0.0, 0.0), (0.4, 0.2, 0.1), 2.0),
+        minjerk_piece((0.4, 0.2, 0.1), (0.0, 0.0, 0.0), 2.0)])
+
+    with native.FlyingFirmwareSim(port).serve() as fw, \
             native.LinkServer() as server:
         server.add_vehicle(1, "127.0.0.1", port, port + 1)
         toc = server.download_param_toc(1)
@@ -392,22 +422,56 @@ def high_level_mission(port: int = 47056):
                         ("stabilizer/controller", 2),
                         ("kalman/resetEstimation", 1)]:
             server.set_param(1, toc[name][0], v, ptype="uint8")
-        server.takeoff(1, height=0.5, duration=5.0)
-        server.land(1, height=0.0, duration=5.0)
-        server.hl_stop(1)
+        server.upload_trajectory(
+            1, traj_id=1, data=traj.encode_poly4d(durations, coeffs),
+            n_pieces=2)
 
-        import time
+        def wire(send, pred, timeout=5.0):
+            ok = send()
+            deadline = time.time() + timeout
+            while time.time() < deadline and not pred():
+                time.sleep(0.005)
+            return ok and pred()
 
-        deadline = time.time() + 5.0
-        while time.time() < deadline:
-            if any(c["cmd"] == "stop" for c in fw.hl_commands):
-                break
-            time.sleep(0.01)
-        return {"hl_commands": list(fw.hl_commands),
+        def fly(ms):
+            fw.stop_serving()
+            for _ in range(ms // 15):
+                fw.poll(15)
+            fw.serve()
+
+        cmds = fw.hl_commands
+        has = lambda c: any(k["cmd"] == c for k in cmds)
+        ok = wire(lambda: server.takeoff(1, height=0.5, duration=2.0),
+                  lambda: has("takeoff") and 1 in fw.trajectories)
+        fly(2600)
+        start_pos = fw.x[:3].copy()
+        ok &= wire(lambda: server.start_trajectory(1, 1, relative=True),
+                   lambda: has("start_trajectory"))
+        t0_ms = fw.seg_t0_ms
+        fly(4400)
+        # flown path vs the Polynomial4D evaluation (shifted to the
+        # relative start), the uav_trajectory.py math
+        errs = []
+        for t, x in fw.flown:
+            tau = t - t0_ms / 1000.0
+            if 0.0 <= tau <= 4.0:
+                f = traj.eval_flat_outputs(durations, coeffs, tau)
+                exp = np.asarray(f["pos"]) + (start_pos - coeffs[0, :3, 0])
+                errs.append(float(np.abs(x[:3] - exp).max()))
+        ok &= wire(lambda: server.land(1, height=0.0, duration=2.0),
+                   lambda: has("land"))
+        fly(2600)
+        ok &= wire(lambda: server.hl_stop(1), lambda: has("stop"))
+        return {"hl_commands": list(cmds),
+                "wire_ok": bool(ok),
                 "params": {n: fw.get_param(n) for n in
                            ("commander/enHighLevel", "stabilizer/estimator",
                             "stabilizer/controller",
-                            "kalman/resetEstimation")}}
+                            "kalman/resetEstimation")},
+                "flown_ticks": len(fw.flown),
+                "max_tracking_err_m": max(errs) if errs else None,
+                "final_pos": [round(float(v), 4) for v in fw.x[:3]],
+                "landed": not fw.flying}
 
 
 def hover_demo(port: int = 47055):

@@ -173,10 +173,17 @@ class FirmwareSim:
         self._thread.start()
         return self
 
-    def close(self):
+    def stop_serving(self):
+        """Stop the background poll thread WITHOUT closing the socket —
+        callers can then drive `poll()` manually (e.g. fast-forwarding
+        simulated time in tests) and later call serve() again."""
         self._running = False
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+            self._thread = None
+
+    def close(self):
+        self.stop_serving()
         self.sock.close()
 
     def __enter__(self):

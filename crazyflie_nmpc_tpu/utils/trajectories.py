@@ -61,6 +61,42 @@ def load_poly_csv(path: str):
     return durations, coeffs
 
 
+def encode_poly4d(durations, coeffs) -> bytes:
+    """Pack pieces into the trajectory-memory wire blob (132 B/piece).
+
+    Layout per piece (little-endian, 33 floats — the crazyflie_cpp
+    poly4d upload format, matching TrajectoryPolynomialPiece.msg's field
+    order): x^0..x^7, y^0..y^7, z^0..z^7, yaw^0..yaw^7, duration.
+    `LinkServer.upload_trajectory` ships this blob over the mem port;
+    `decode_poly4d` (the vehicle-side executor) inverts it.
+    """
+    import struct
+
+    durations = np.asarray(durations, np.float64)
+    coeffs = np.asarray(coeffs, np.float64)
+    out = b""
+    for dur, c in zip(durations, coeffs):
+        out += struct.pack("<33f", *c.reshape(32), float(dur))
+    return out
+
+
+def decode_poly4d(blob: bytes, n_pieces: int):
+    """Inverse of `encode_poly4d`: blob -> (durations (P,), coeffs
+    (P, 4, 8) lowest-power-first)."""
+    import struct
+
+    if len(blob) < 132 * n_pieces:
+        raise ValueError(f"poly4d blob too short: {len(blob)} B for "
+                         f"{n_pieces} pieces")
+    durations = np.zeros(n_pieces)
+    coeffs = np.zeros((n_pieces, 4, 8))
+    for i in range(n_pieces):
+        vals = struct.unpack("<33f", blob[132 * i:132 * (i + 1)])
+        coeffs[i] = np.asarray(vals[:32]).reshape(4, 8)
+        durations[i] = vals[32]
+    return durations, coeffs
+
+
 def _polyval(c, t):
     """Evaluate sum_i c[..., i] t^i (lowest-power-first) via Horner."""
     r = jnp.zeros_like(t) + c[..., -1]

