@@ -546,6 +546,58 @@ def multi_hover(n: int = 2, base_port: int = 47060):
                 "stats": [server.stats(i + 1) for i in range(n)]}
 
 
+def swarm_serving(n: int = 8, ticks: int = 260, base_port: int = 47090,
+                  rate_hz: float = 66.6, spacing: float = 0.6,
+                  z: float = 0.4, lockstep: bool = True,
+                  use_fused: bool | None = None):
+    """The multi-drone server, TPU-natively ONE solve: N cascade-plant
+    vehicles behind the link, a single `rti_step_batched` launch per
+    tick with per-vehicle formation references, cmd_vel fanned out per
+    vehicle, telemetry returning into a batched estimator, per-vehicle
+    deadline accounting (crazyflie_server.cpp:155,1108-1131 — the
+    reference runs one NMPC node per drone; here the vehicle axis is
+    the batch axis).  See runtime/swarm.py."""
+    if use_fused is not True:      # explicit True = run on the device
+        _jax_cpu()
+    import contextlib
+
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.runtime.swarm import (
+        SwarmNMPC,
+        grid_targets,
+        serve_swarm,
+    )
+    from crazyflie_nmpc_tpu.solver import default_ocp
+
+    spec = default_ocp(dtype=jnp.float32)
+    targets = grid_targets(n, spacing=spacing, z=z)
+    swarm = SwarmNMPC(spec, targets, use_fused=use_fused)
+
+    with contextlib.ExitStack() as stack:
+        fws = []
+        for i in range(n):
+            fw = native.CascadeFirmwareSim(
+                base_port + 2 * i,
+                x0=(targets[i, 0], targets[i, 1], 0.03),
+                plant_dt_ms=max(1, int(round(1000.0 / rate_hz))))
+            stack.enter_context(fw)
+            if not lockstep:
+                fw.serve()
+            fws.append(fw)
+        server = stack.enter_context(native.LinkServer())
+        vids = list(range(1, n + 1))
+        for i, vid in enumerate(vids):
+            server.add_vehicle(vid, "127.0.0.1", base_port + 2 * i,
+                               base_port + 2 * i + 1)
+        report = serve_swarm(spec, server, vids, fws, swarm, ticks,
+                             rate_hz=rate_hz, lockstep=lockstep)
+        stats = [server.stats(vid) for vid in vids]
+    return {"report": report, "summary": report.summary(),
+            "targets": targets, "link_stats": stats}
+
+
 def teleop(ticks: int = 50, port: int = 47070):
     """teleop_*.launch: joystick axis mapping streaming cmd_vel at 100 Hz
     (axes scripted — no joystick hardware in this environment)."""
@@ -652,6 +704,7 @@ BRINGUPS = {
     "hover_demo": hover_demo,
     "position_demo": position_demo,
     "multi_hover": multi_hover,
+    "swarm_serving": swarm_serving,
     "teleop": teleop,
     "bag_play": bag_play,
 }

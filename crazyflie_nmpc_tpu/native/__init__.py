@@ -27,5 +27,6 @@ from crazyflie_nmpc_tpu.native.channels import (  # noqa: F401
 )
 from crazyflie_nmpc_tpu.native.firmware_sim import FirmwareSim  # noqa: F401
 from crazyflie_nmpc_tpu.native.hl_executor import (  # noqa: F401
+    CascadeFirmwareSim,
     FlyingFirmwareSim,
 )

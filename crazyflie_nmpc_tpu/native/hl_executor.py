@@ -28,6 +28,7 @@ format — the crazyflie_cpp poly4d layout).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -35,6 +36,25 @@ import numpy as np
 from crazyflie_nmpc_tpu.native.firmware_sim import FirmwareSim
 
 GRAVITY = 9.8066
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_plant_step(params, gains, plant_dt_ms: int, substeps: int):
+    """One jitted cascade-plant step shared across vehicle instances.
+
+    Keyed on the (hashable, frozen) physical parameters — a swarm of N
+    simulated vehicles with identical hardware compiles ONCE instead of
+    once per endpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu.models.firmware import attitude_plant_step
+
+    dt = jnp.float32(plant_dt_ms / 1000.0)
+    return jax.jit(
+        lambda x, cmd, motor: attitude_plant_step(
+            params, x, cmd, dt, substeps=substeps, gains=gains,
+            motor=motor))
 
 
 class _MinJerk:
@@ -150,7 +170,6 @@ class FlyingFirmwareSim(FirmwareSim):
 
         from crazyflie_nmpc_tpu.models.firmware import (
             AttitudeGains,
-            attitude_plant_step,
             init_motor_state,
         )
         from crazyflie_nmpc_tpu.models.quadrotor import QuadrotorParams as _QP
@@ -175,13 +194,9 @@ class FlyingFirmwareSim(FirmwareSim):
         self.flown = []                 # (t_s, x(13)) history while flying
         self._cmd_idx = 0
 
-        dt = jnp.float32(self.plant_dt)
-        params, gains_ = self.quad_params, self.gains
         self._jx = jax
-        self._step_fn = jax.jit(
-            lambda x, cmd, motor: attitude_plant_step(
-                params, x, cmd, dt, substeps=substeps, gains=gains_,
-                motor=motor))
+        self._step_fn = _cached_plant_step(
+            self.quad_params, self.gains, plant_dt_ms, substeps)
         self._motor = init_motor_state(
             self.quad_params, jnp.asarray(x, jnp.float32))
 
@@ -343,3 +358,50 @@ class FlyingFirmwareSim(FirmwareSim):
 
         return np.array([math.degrees(alpha_des), -math.degrees(beta_des),
                          yawrate, np.clip(pwm, 0.0, 60000.0)])
+
+
+class CascadeFirmwareSim(FlyingFirmwareSim):
+    """FirmwareSim + cascade plant flown by raw cmd_vel setpoints.
+
+    The firmware's LOW-LEVEL mode: no onboard planner — each received
+    attitude setpoint (roll/pitch deg, yaw rate deg/s, thrust PWM;
+    the reference's cmd_vel contract, acados_mpc.cpp:644-670) is held
+    and tracked by the onboard attitude/rate cascade
+    (models.firmware.attitude_plant_step) driving rigid-body physics.
+    This is the vehicle endpoint `runtime.swarm` fans a batched NMPC
+    solve out to: what a real Crazyflie does when the reference server
+    forwards /crazyflie/cmd_vel over the radio
+    (crazyflie_server.cpp:155,1108-1131 per-vehicle loops).
+
+    Arming follows the firmware's thrust-lock discipline: the vehicle
+    sits on the ground, motors off, until a setpoint with thrust above
+    `arm_thrust_pwm` arrives (the unlock-after-zero sequence is the
+    link server's job; this is the vehicle-side gate).
+    """
+
+    ARM_THRUST_PWM = 1000.0
+
+    def _consume_commands(self):
+        # low-level mode: the HL planner is inert; commands are recorded
+        # (base-class behavior) but never flown
+        pass
+
+    def _physics_tick(self):
+        sp = self.last_setpoint
+        if sp is None:
+            return
+        if not self.flying:
+            if sp[3] < self.ARM_THRUST_PWM:
+                return
+            self.flying = True
+        cmd = np.array([sp[0], sp[1], sp[2], sp[3]], np.float64)
+        jnp = self._jx.numpy
+        x_next, _, self._motor = self._step_fn(
+            jnp.asarray(self.x, jnp.float32),
+            jnp.asarray(cmd, jnp.float32), self._motor)
+        x_next = np.asarray(x_next, np.float64)
+        if x_next[2] <= 0.0:           # ground: no tunneling below z=0
+            x_next[2] = 0.0
+            x_next[9] = max(x_next[9], 0.0)
+        self.x = x_next
+        self.flown.append((self.time_ms / 1000.0, self.x.copy()))

@@ -1,0 +1,109 @@
+"""Swarm serving: ONE batched solve fanned out to N wire vehicles.
+
+VERDICT r4 item 3: the reference's defining multi-drone server — N
+Crazyflies, one thread + NMPC node each (crazyflie_server.cpp:155,
+1108-1131, multi_hover_*.launch) — re-expressed TPU-natively as a single
+`rti_step_batched` launch whose batch axis is the vehicle axis, with
+telemetry returning into a batched estimator and per-vehicle cmd_vel +
+deadline accounting through the native link (runtime/swarm.py).
+
+The convergence test flies 8 vehicles from the ground to a formation
+grid through the REAL wire (UDP/CRTP both directions, cascade-plant
+firmware endpoints) in lockstep time.
+"""
+
+import numpy as np
+
+from crazyflie_nmpc_tpu.runtime.swarm import grid_targets
+
+N_VEHICLES = 8
+BASE_PORT = 47410
+
+
+def test_grid_targets_formation():
+    t = grid_targets(8, spacing=0.5, z=0.4)
+    assert t.shape == (8, 3)
+    assert np.allclose(t[:, 2], 0.4)
+    # centered formation, all slots distinct
+    assert np.allclose(t[:, :2].mean(axis=0), 0.0, atol=1e-12)
+    assert len({tuple(r) for r in np.round(t, 9).tolist()}) == 8
+    # neighbor spacing respected along the grid rows
+    assert np.isclose(t[1, 0] - t[0, 0], 0.5)
+
+
+def test_cascade_sim_arms_on_thrust():
+    """CascadeFirmwareSim: motors stay off below the arm threshold (the
+    vehicle-side thrust-lock gate), fly above it."""
+    from crazyflie_nmpc_tpu import native
+
+    with native.CascadeFirmwareSim(BASE_PORT + 80) as fw:
+        z0 = fw.x[2]
+        fw.last_setpoint = (0.0, 0.0, 0.0, 0.0)   # the 100-zero unlock
+        for _ in range(20):
+            fw.poll(15)
+        assert not fw.flying and fw.x[2] == z0
+        # hover-ish thrust arms and lifts
+        fw.last_setpoint = (0.0, 0.0, 0.0, 48000.0)
+        for _ in range(40):
+            fw.poll(15)
+        assert fw.flying
+        assert fw.x[2] > z0
+
+
+def test_swarm_converges_over_wire():
+    """8 vehicles, one batched device solve per tick, through the link:
+    every vehicle reaches its formation slot; telemetry stays fresh;
+    per-vehicle deadline accounting is populated."""
+    from crazyflie_nmpc_tpu import bringup
+
+    out = bringup.swarm_serving(n=N_VEHICLES, ticks=220,
+                                base_port=BASE_PORT)
+    rep = out["report"]
+    assert rep.n_vehicles == N_VEHICLES
+    assert rep.latency_s.shape == (220, N_VEHICLES)
+
+    # the multi-drone behavior: every vehicle converges to ITS slot
+    assert rep.final_err_m.max() < 0.08, rep.final_err_m
+    # slots are distinct — the solve really served N different problems
+    final_pos = rep.positions[-1]
+    assert np.linalg.norm(final_pos[:, None] - final_pos[None, :],
+                          axis=-1)[np.triu_indices(N_VEHICLES, 1)].min() \
+        > 0.3
+    # telemetry plane: fresh rows on ~every tick after bringup
+    assert (rep.staleness[5:] <= 1).mean() > 0.99
+    # accounting is per-vehicle and sane
+    misses = rep.deadline_misses(budget_s=rep.period_s)
+    assert misses.shape == (N_VEHICLES,)
+    assert np.isfinite(rep.latency_s).all()
+
+
+def test_swarm_vehicles_track_independent_targets():
+    """A 3-vehicle asymmetric formation: per-lane yref really steers
+    each lane (not one shared reference)."""
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import bringup, native
+    from crazyflie_nmpc_tpu.runtime.swarm import SwarmNMPC, serve_swarm
+    from crazyflie_nmpc_tpu.solver import default_ocp
+
+    bringup._jax_cpu()
+    import contextlib
+
+    spec = default_ocp(dtype=jnp.float32)
+    targets = np.array([[0.0, 0.0, 0.3], [0.8, 0.0, 0.5],
+                        [0.0, -0.6, 0.7]])
+    swarm = SwarmNMPC(spec, targets, use_fused=False)
+    with contextlib.ExitStack() as stack:
+        fws = [stack.enter_context(native.CascadeFirmwareSim(
+            BASE_PORT + 60 + 2 * i, x0=(targets[i, 0], targets[i, 1],
+                                        0.03)))
+            for i in range(3)]
+        server = stack.enter_context(native.LinkServer())
+        for i in range(3):
+            server.add_vehicle(i + 1, "127.0.0.1", BASE_PORT + 60 + 2 * i,
+                               BASE_PORT + 60 + 2 * i + 1)
+        rep = serve_swarm(spec, server, [1, 2, 3], fws, swarm, ticks=220)
+    # each vehicle is at ITS height, not a common one
+    z = np.array([fw.x[2] for fw in fws])
+    np.testing.assert_allclose(z, targets[:, 2], atol=0.06)
+    assert rep.final_err_m.max() < 0.08
