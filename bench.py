@@ -238,6 +238,7 @@ def main():
 
     serving = None
     parity = None
+    swarm = None
     if on_tpu:
         try:
             serving = serving_decomposition(spec, yref, yref_e, dt_dev)
@@ -249,8 +250,14 @@ def main():
         except Exception as e:
             log(f"compiled parity probe failed: {type(e).__name__}: {e}")
             parity = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            swarm = swarm_over_wire()
+        except Exception as e:
+            log(f"swarm-over-wire probe failed: {type(e).__name__}: {e}")
+            swarm = {"error": f"{type(e).__name__}: {e}"}
 
-    coherence = run_coherence(b_sweep, certified, serving) if on_tpu else None
+    coherence = (run_coherence(b_sweep, certified, serving, parity, swarm)
+                 if on_tpu else None)
     if coherence is not None:
         log(f"run coherence: {coherence}")
 
@@ -270,6 +277,10 @@ def main():
         # Mosaic flush/aliasing + HBM-round-trip semantics the opt-in
         # test_tpu_compiled.py checks, captured in the driver artifact
         "compiled_parity": parity,
+        # swarm-over-the-wire serving (VERDICT r4 item 3): N cascade-
+        # plant vehicles behind the native link, ONE batched device
+        # launch per tick, per-vehicle deadline/convergence evidence
+        "swarm": swarm,
         # self-audit: PERF.md's run-acceptance sanity checks applied to
         # THIS run, so a stall-contaminated capture flags itself in the
         # artifact instead of needing a cross-run comparison
@@ -293,6 +304,18 @@ def compiled_parity():
       longN_vs_xla_du: N=400 — PAST the in-VMEM envelope, where the
         auto-selected path is windowed — vs the independent pure-XLA
         RTI step (vmapped solver.rti.rti_step, no Pallas kernels).
+
+    The longN scalar ships SELF-JUSTIFYING (VERDICT r4 item 5): it is
+    two different f32 algebra orders accumulated over 400 sequential
+    stages, so alongside the raw kRPM diff the artifact carries
+      longN_vs_xla_du_rel  — normalized by max |u_plan| (the 0-22 kRPM
+        command scale), and
+      longN_{windowed,xla}_vs_f64 — the ATTRIBUTION pair: the same
+        N=400 problem solved at f64 (CPU backend, 8 lanes) as ground
+        truth.  Both f32 paths sitting the same distance from f64 means
+        the gap is f32 rounding, not a kernel defect; `run_coherence`
+        gates on exactly that relation, so a windowed-kernel regression
+        at N>envelope flags the artifact.
     """
     import numpy as np
 
@@ -345,31 +368,131 @@ def compiled_parity():
                 spec, s, x, yref, yref_e, cfg, **kw))(states, x0s)
             jax.block_until_ready(o.u_plan)
             return o
-        return run
+        return run, x0s
 
-    run10 = setup(10, 0.15)
+    run10, _ = setup(10, 0.15)
     o_ref = run10(stages_per_step=10)
     o_one = run10(stages_per_step=10, fused_iter=True)
     out["fused_iter_du"] = du_diff(o_one, o_ref)
     log(f"[parity] fused_iter vs two-launch (N=10): "
         f"{out['fused_iter_du']:.3e}")
 
-    run200 = setup(200, 3.0)
+    run200, _ = setup(200, 3.0)
     o_vmem = run200(stages_per_step=8, windowed=False)
     o_win = run200(stages_per_step=8, windowed=True)
     out["windowed_du"] = du_diff(o_win, o_vmem)
     log(f"[parity] windowed vs in-VMEM (N=200): {out['windowed_du']:.3e}")
 
-    run400 = setup(400, 6.0)
+    run400, x0s400 = setup(400, 6.0)
     o_auto = run400(stages_per_step=8)            # past envelope -> windowed
     o_xla = run400(xla=True)
     # batch-last (N, nu, B) vs the vmapped path's (B, N, nu)
-    out["longN_vs_xla_du"] = float(np.abs(
-        np.asarray(o_auto.u_plan)
-        - np.moveaxis(np.asarray(o_xla.u_plan), 0, -1)).max())
+    u_win = np.moveaxis(np.asarray(o_auto.u_plan), -1, 0)   # (B, N, nu)
+    u_xla = np.asarray(o_xla.u_plan)
+    out["longN_vs_xla_du"] = float(np.abs(u_win - u_xla).max())
+    u_mag = float(np.abs(u_xla).max())
+    out["longN_vs_xla_du_rel"] = out["longN_vs_xla_du"] / u_mag
     log(f"[parity] windowed N=400 (past envelope) vs XLA path: "
-        f"{out['longN_vs_xla_du']:.3e}")
+        f"{out['longN_vs_xla_du']:.3e} kRPM "
+        f"({out['longN_vs_xla_du_rel']:.3e} of max|u|={u_mag:.1f})")
+
+    # --- f64 attribution: the same N=400 problem at f64 (CPU backend,
+    # 8 lanes bound the cost) as ground truth for BOTH f32 paths.
+    # CPU-pinned compile stays out of the persistent cache (the flaky
+    # XLA:CPU AOT loader — utils/cache.py).
+    from crazyflie_nmpc_tpu.utils.cache import persistent_cache_disabled
+
+    nl = 8
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu), \
+            persistent_cache_disabled():
+        spec64 = default_ocp(N=400, tf=6.0, dtype=jnp.float64)
+        yref64, yref_e64 = hover_yref(spec64)
+        x0s64 = jnp.asarray(np.asarray(x0s400)[:nl], jnp.float64)
+        states64 = jax.vmap(lambda x: init_rti(spec64, x))(x0s64)
+        _, o64 = jax.jit(jax.vmap(
+            lambda s, x: rti_step(spec64, s, x, yref64, yref_e64,
+                                  ipm.IPMConfig(iters=1))))(states64, x0s64)
+        u64 = np.asarray(o64.u_plan)              # (nl, N, nu)
+    out["longN_windowed_vs_f64"] = float(np.abs(u_win[:nl] - u64).max())
+    out["longN_xla_vs_f64"] = float(np.abs(u_xla[:nl] - u64).max())
+    log(f"[parity] N=400 f64 attribution ({nl} lanes): windowed "
+        f"{out['longN_windowed_vs_f64']:.3e}, xla "
+        f"{out['longN_xla_vs_f64']:.3e} — equal-order means the gap is "
+        f"f32 rounding, not a kernel defect")
     return {k: round(v, 9) for k, v in out.items()}
+
+
+def swarm_over_wire(n: int = 16, ticks: int = 200, base_port: int = 48200):
+    """Swarm-over-the-wire serving row (VERDICT r4 item 3): n cascade-
+    plant vehicles behind the native link server, ONE fused
+    `rti_step_batched` launch per tick on the device (lanes padded to
+    the 128 block), telemetry returning into the batched estimator.
+
+    Lockstep time discipline: each tick advances every vehicle exactly
+    one 15 ms period; the per-vehicle emit latency is still real wall
+    clock (telemetry gather -> device solve -> n setpoints on the wire),
+    so through a tunneled dev chip the row is transport-bound and says
+    so — convergence and per-vehicle accounting are the evidence here,
+    the on-host solve cost is covered by the serving block."""
+    import contextlib
+
+    import numpy as np
+
+    from crazyflie_nmpc_tpu import native
+    from crazyflie_nmpc_tpu.models.firmware import (
+        AttitudeGains,
+        init_motor_state,
+    )
+    from crazyflie_nmpc_tpu.models.quadrotor import QuadrotorParams
+    from crazyflie_nmpc_tpu.native.hl_executor import _cached_plant_step
+    from crazyflie_nmpc_tpu.runtime.swarm import (
+        SwarmNMPC,
+        grid_targets,
+        serve_swarm,
+    )
+    from crazyflie_nmpc_tpu.solver import default_ocp
+    from crazyflie_nmpc_tpu.utils.cache import persistent_cache_disabled
+
+    # pre-warm the CPU-pinned vehicle plant OUTSIDE the persistent cache
+    # (the flaky XLA:CPU AOT loader, utils/cache.py) with the exact
+    # signature the endpoints use
+    cpu = jax.local_devices(backend="cpu")[0]
+    with persistent_cache_disabled(), jax.default_device(cpu):
+        params = QuadrotorParams()
+        pstep = _cached_plant_step(params, AttitudeGains(), 15, 10)
+        x0 = jnp.zeros((13,), jnp.float32).at[3].set(1.0)
+        jax.block_until_ready(pstep(
+            x0, jnp.zeros((4,), jnp.float32), init_motor_state(params, x0)))
+
+    spec = default_ocp(dtype=jnp.float32)
+    targets = grid_targets(n, spacing=0.6, z=0.4)
+    swarm = SwarmNMPC(spec, targets, use_fused=True)
+    with contextlib.ExitStack() as stack:
+        fws = [stack.enter_context(native.CascadeFirmwareSim(
+            base_port + 2 * i,
+            x0=(float(targets[i, 0]), float(targets[i, 1]), 0.03)))
+            for i in range(n)]
+        server = stack.enter_context(native.LinkServer())
+        vids = list(range(1, n + 1))
+        for i, vid in enumerate(vids):
+            server.add_vehicle(vid, "127.0.0.1", base_port + 2 * i,
+                               base_port + 2 * i + 1)
+        rep = serve_swarm(spec, server, vids, fws, swarm, ticks)
+    s = rep.summary()
+    out = dict(
+        n_vehicles=n, ticks=ticks, solve_lanes=swarm.lanes,
+        p50_ms=s["p50_ms"], p99_ms=s["p99_ms"],
+        worst_vehicle_miss=s["worst_vehicle_miss"],
+        stale_ticks=s["stale_ticks"],
+        final_err_max_m=round(s["final_err_max_m"], 4),
+        transport_bound=bool(s["p50_ms"] > 15.0),
+    )
+    log(f"[swarm] {n} vehicles x {ticks} ticks, one {swarm.lanes}-lane "
+        f"launch/tick: emit p50={s['p50_ms']:.2f} ms p99={s['p99_ms']:.2f} "
+        f"ms, final err max {s['final_err_max_m']:.3f} m, "
+        f"stale ticks {s['stale_ticks']}")
+    return out
 
 
 def serving_decomposition(spec, yref, yref_e, dt_dev,
@@ -476,6 +599,12 @@ def serving_decomposition(spec, yref, yref_e, dt_dev,
     # 66.6 Hz; through the tunnel the floor itself exceeds the period)
     sustain_hz = min(66.6, 1e3 / (1.3 * (floor["p99_ms"] + 10.0)))
     sustained = serve(sustain_hz, sustained_s)
+
+    # when the transport floor alone exceeds the 15 ms tick budget, the
+    # sync-66.6 Hz block measures the tunnel, not the loop — mark it so
+    # (VERDICT r4 weak 6); the floor-derated `sustained` block carries
+    # the deadline evidence in that regime
+    syncs["transport_bound"] = bool(floor["p50_ms"] > 15.0)
 
     log(f"[serving] on-host estimate: median {on_host:.3f} ms, spread "
         f"{spread:.3f} ms over {pairs} interleaved pairs (target < 10 ms)")

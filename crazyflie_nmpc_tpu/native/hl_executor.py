@@ -195,10 +195,16 @@ class FlyingFirmwareSim(FirmwareSim):
         self._cmd_idx = 0
 
         self._jx = jax
+        # vehicle physics always runs on the HOST backend: in a process
+        # whose default device is a (possibly tunneled) TPU, the swarm's
+        # batched solve belongs there but N simulated plants do not —
+        # each would pay the host<->device round trip per tick
+        self._cpu = jax.local_devices(backend="cpu")[0]
         self._step_fn = _cached_plant_step(
             self.quad_params, self.gains, plant_dt_ms, substeps)
-        self._motor = init_motor_state(
-            self.quad_params, jnp.asarray(x, jnp.float32))
+        with jax.default_device(self._cpu):
+            self._motor = init_motor_state(
+                self.quad_params, jnp.asarray(x, jnp.float32))
 
     # ---- telemetry ------------------------------------------------------
 
@@ -211,7 +217,9 @@ class FlyingFirmwareSim(FirmwareSim):
         if name.startswith("gyro."):
             return float(math.degrees(x[10 + "xyz".index(name[-1])]))
         if name.startswith("stabilizer."):
-            eu = np.asarray(rot.quat_to_euler(x[3:7].astype(np.float32)))
+            with self._jx.default_device(self._cpu):
+                eu = np.asarray(rot.quat_to_euler(
+                    x[3:7].astype(np.float32)))
             return float(math.degrees(
                 eu[["roll", "pitch", "yaw"].index(name.split(".")[1])]))
         if name.startswith("motor.m"):
@@ -276,7 +284,9 @@ class FlyingFirmwareSim(FirmwareSim):
 
     def _yaw(self) -> float:
         from crazyflie_nmpc_tpu.models import rotations as rot
-        eu = np.asarray(rot.quat_to_euler(self.x[3:7].astype(np.float32)))
+        with self._jx.default_device(self._cpu):
+            eu = np.asarray(rot.quat_to_euler(
+                self.x[3:7].astype(np.float32)))
         return -float(eu[2])           # body-axis yaw (rotations note)
 
     # ---- executor -------------------------------------------------------
@@ -306,9 +316,10 @@ class FlyingFirmwareSim(FirmwareSim):
             return
         cmd = self._position_controller(ref)
         jnp = self._jx.numpy
-        x_next, _, self._motor = self._step_fn(
-            jnp.asarray(self.x, jnp.float32),
-            jnp.asarray(cmd, jnp.float32), self._motor)
+        with self._jx.default_device(self._cpu):
+            x_next, _, self._motor = self._step_fn(
+                jnp.asarray(self.x, jnp.float32),
+                jnp.asarray(cmd, jnp.float32), self._motor)
         self.x = np.asarray(x_next, np.float64)
         self.flown.append((self.time_ms / 1000.0, self.x.copy()))
 
@@ -324,7 +335,8 @@ class FlyingFirmwareSim(FirmwareSim):
 
         x = self.x
         q = x[3:7].astype(np.float32)
-        R = np.asarray(rot.rotmat_body_to_earth(q), np.float64)
+        with self._jx.default_device(self._cpu):
+            R = np.asarray(rot.rotmat_body_to_earth(q), np.float64)
         vel_world = R @ x[7:10]
 
         acc_cmd = (ref["acc"] + self.kp_pos * (ref["pos"] - x[0:3])
@@ -342,15 +354,17 @@ class FlyingFirmwareSim(FirmwareSim):
         qd = np.array([qw, (Rd[2, 1] - Rd[1, 2]) / (4 * qw),
                        (Rd[0, 2] - Rd[2, 0]) / (4 * qw),
                        (Rd[1, 0] - Rd[0, 1]) / (4 * qw)])
-        eu_d = np.asarray(rot.quat_to_euler(qd.astype(np.float32)),
-                          np.float64)
+        with self._jx.default_device(self._cpu):
+            eu_d = np.asarray(rot.quat_to_euler(qd.astype(np.float32)),
+                              np.float64)
         alpha_des, beta_des = -eu_d[0], -eu_d[1]
 
         # thrust along the CURRENT body z (geometric-controller projection)
         f_acc = max(float(acc_cmd @ R[:, 2]), 0.5)
         w_cmd = math.sqrt(self.quad_params.mq * f_acc
                           / (4.0 * self.quad_params.Ct))
-        pwm = float(krpm2pwm(w_cmd))
+        with self._jx.default_device(self._cpu):
+            pwm = float(krpm2pwm(w_cmd))
 
         yaw_err = ref["yaw"] - self._yaw()
         yaw_err = (yaw_err + math.pi) % (2 * math.pi) - math.pi
@@ -396,9 +410,10 @@ class CascadeFirmwareSim(FlyingFirmwareSim):
             self.flying = True
         cmd = np.array([sp[0], sp[1], sp[2], sp[3]], np.float64)
         jnp = self._jx.numpy
-        x_next, _, self._motor = self._step_fn(
-            jnp.asarray(self.x, jnp.float32),
-            jnp.asarray(cmd, jnp.float32), self._motor)
+        with self._jx.default_device(self._cpu):
+            x_next, _, self._motor = self._step_fn(
+                jnp.asarray(self.x, jnp.float32),
+                jnp.asarray(cmd, jnp.float32), self._motor)
         x_next = np.asarray(x_next, np.float64)
         if x_next[2] <= 0.0:           # ground: no tunneling below z=0
             x_next[2] = 0.0

@@ -306,6 +306,10 @@ def serve_swarm(spec: OCPSpec, server, vids, fws, swarm: SwarmNMPC,
     plane = _TelemetryPlane(server, vids, fws)
 
     swarm.reset(np.stack([fw.x for fw in fws]))
+    # compile the batched step OUTSIDE the accounted loop (same shapes/
+    # dtypes as the serving ticks), then restore a fresh carry
+    swarm.step(plane.mocap, plane.euler, plane.gyro)
+    swarm.reset(np.stack([fw.x for fw in fws]))
 
     latency = np.zeros((ticks, B))
     staleness = np.zeros((ticks, B), np.int64)

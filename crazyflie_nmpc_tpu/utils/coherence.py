@@ -17,7 +17,7 @@ later CPU-pinned compiles to the flaky XLA:CPU AOT loader).
 from __future__ import annotations
 
 
-def run_coherence(b_sweep, certified, serving):
+def run_coherence(b_sweep, certified, serving, parity=None, swarm=None):
     """Apply docs/PERF.md's run-acceptance sanity checks to one run.
 
     Each check is a boolean; `ok` is their AND.  Checks whose inputs are
@@ -28,6 +28,11 @@ def run_coherence(b_sweep, certified, serving):
     case the audit exists to flag (ADVICE r4).  A failing artifact
     should be re-run, not trusted; a passing one carries its own
     evidence.  Pure function (unit-tested in tests/test_runtime_extras).
+
+    parity/swarm (VERDICT r4 items 5/3): the compiled-parity scalars and
+    the swarm-over-the-wire row are gated too, so a kernel regression at
+    N past the VMEM envelope — or a swarm loop that stopped converging —
+    flags the artifact instead of shipping as an unexplained number.
     """
     checks = {}
     skipped = []
@@ -54,6 +59,44 @@ def run_coherence(b_sweep, certified, serving):
             s["p99_ms"] < 10.0 * max(s["p50_ms"], 1e-9))
     else:
         skipped.append("serving_p99_same_order")
+    if parity and "fused_iter_du" in parity:
+        # single-launch and windowed kernels vs their two-launch/in-VMEM
+        # references: 2e-3 kRPM is the opt-in compiled suite's bound
+        # (docs/TESTING.md); these are same-algebra comparisons, so a
+        # violation is a kernel defect, not precision
+        checks["parity_fused_iter_small"] = bool(
+            parity["fused_iter_du"] < 2e-3)
+        checks["parity_windowed_small"] = bool(
+            parity["windowed_du"] < 2e-3)
+        # the long-horizon scalar is two f32 algebra orders over 400
+        # stages: gate it NORMALIZED (vs the 0-22 kRPM command scale)...
+        checks["parity_longN_rel_small"] = bool(
+            parity["longN_vs_xla_du_rel"] < 1e-3)
+        # ...and by ATTRIBUTION: the windowed path must sit at the same
+        # distance from the f64 ground truth as the independent XLA path
+        # (within 4x / the f32-rounding floor) — a windowed-kernel
+        # regression breaks this even if the XLA path drifts too
+        if "longN_windowed_vs_f64" in parity:
+            checks["parity_longN_attributed"] = bool(
+                parity["longN_windowed_vs_f64"]
+                <= 4.0 * max(parity["longN_xla_vs_f64"], 2.5e-4))
+        else:
+            skipped.append("parity_longN_attributed")
+    else:
+        skipped.extend(["parity_fused_iter_small", "parity_windowed_small",
+                        "parity_longN_rel_small",
+                        "parity_longN_attributed"])
+    if swarm and "final_err_max_m" in swarm:
+        # every wire vehicle must have reached its formation slot (the
+        # test bound is 0.08 m at 220 ticks; 0.15 m leaves headroom for
+        # the shorter bench run without hiding a diverged vehicle) with
+        # a live telemetry plane
+        checks["swarm_converged"] = bool(
+            swarm["final_err_max_m"] < 0.15
+            and swarm["stale_ticks"]
+            < 0.2 * swarm["ticks"] * swarm["n_vehicles"])
+    else:
+        skipped.append("swarm_converged")
     checks["checks_skipped"] = skipped
     checks["ok"] = (None if skipped
                     else all(v for k, v in checks.items()

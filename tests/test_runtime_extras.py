@@ -289,16 +289,47 @@ def test_bench_run_coherence_self_audit():
     (ADVICE r4)."""
     from crazyflie_nmpc_tpu.utils.coherence import run_coherence
 
-    # a coherent round-4-class run (real captured numbers)
+    # a coherent round-4/5-class run (real captured numbers)
+    good_parity = dict(fused_iter_du=5.7e-6, windowed_du=0.0,
+                       longN_vs_xla_du=5.28e-3,
+                       longN_vs_xla_du_rel=2.4e-4,
+                       longN_windowed_vs_f64=3.1e-3,
+                       longN_xla_vs_f64=2.7e-3)
+    good_swarm = dict(n_vehicles=16, ticks=200, final_err_max_m=0.05,
+                      stale_ticks=12)
     good = run_coherence(
         b_sweep={"1024": 260800.0, "2048": 264800.0,
                  "4096": 242400.0, "8192": 226300.0},
         certified={"esc16": 182100.0, "esc32": 168600.0},
         serving={"sync_66hz": {"p50_ms": 27.0, "p99_ms": 91.0}},
+        parity=good_parity, swarm=good_swarm,
     )
     assert good["ok"] and good["b_sweep_consistent"]
     assert good["esc16_not_slower"] and good["serving_p99_same_order"]
+    assert good["parity_fused_iter_small"] and good["parity_windowed_small"]
+    assert good["parity_longN_rel_small"]
+    assert good["parity_longN_attributed"]
+    assert good["swarm_converged"]
     assert good["checks_skipped"] == []
+
+    # a windowed-kernel regression at N past the VMEM envelope: the raw
+    # longN scalar balloons, the f64 attribution breaks (the windowed
+    # path drifts from ground truth while the XLA path does not), and
+    # the artifact flags itself (VERDICT r4 item 5)
+    regressed = run_coherence(
+        b_sweep={"1024": 260800.0, "2048": 264800.0},
+        certified={"esc16": 182100.0, "esc32": 168600.0},
+        serving={"sync_66hz": {"p50_ms": 27.0, "p99_ms": 91.0}},
+        parity=dict(fused_iter_du=5.7e-6, windowed_du=0.0,
+                    longN_vs_xla_du=0.31, longN_vs_xla_du_rel=1.4e-2,
+                    longN_windowed_vs_f64=0.30, longN_xla_vs_f64=2.7e-3),
+        swarm=dict(n_vehicles=16, ticks=200, final_err_max_m=0.9,
+                   stale_ticks=2000),
+    )
+    assert regressed["ok"] is False
+    assert not regressed["parity_longN_rel_small"]
+    assert not regressed["parity_longN_attributed"]
+    assert not regressed["swarm_converged"]
 
     # the observed contaminated-run signature: inconsistent B-sweep,
     # esc16 slower than esc32, serving p99 in seconds against a p50 in ms
@@ -327,7 +358,10 @@ def test_bench_run_coherence_self_audit():
     assert partial["b_sweep_consistent"]
     assert partial["ok"] is None
     assert set(partial["checks_skipped"]) == {
-        "esc16_not_slower", "serving_p99_same_order"}
+        "esc16_not_slower", "serving_p99_same_order",
+        "parity_fused_iter_small", "parity_windowed_small",
+        "parity_longN_rel_small", "parity_longN_attributed",
+        "swarm_converged"}
 
 
 def test_persistent_cache_disabled_context():
