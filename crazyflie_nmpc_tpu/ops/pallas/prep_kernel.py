@@ -259,10 +259,15 @@ def _vde_stage(p, dt, dtype, bshape, eye, x, u):
     return A, Bm, x_next
 
 
-def _prep_c2_kernel(npair, x_ref, xn_ref, u_ref, yref_ref,
+def _prep_c2_kernel(npair, ablate, x_ref, xn_ref, u_ref, yref_ref,
                     qd_ref, rd_ref, lbu_ref, ubu_ref, p_ref,
                     Ab_out, Bb_out, cb_out, Qb_out, S1T_out, R00_out,
                     qb_out, rb_out, Ae_out, Be_out, c_out, lb_out, ub_out):
+    # `ablate` (frozenset of op-group names) is MEASUREMENT-ONLY (cf.
+    # _kkt_c2_kernel): each named group is replaced by a same-shape cheap
+    # substitute so tools/fixed_cost_sol.py can price it by deletion.
+    # Groups: "vde" (ERK4 + matrix VDE), "cond" (condensed-dynamics
+    # products), "cost" (condensed-cost products).
     from crazyflie_nmpc_tpu.ops.pallas.riccati_kernels import (
         _add_diag, _mm, _mtm, _mtv, _mv)
 
@@ -277,10 +282,17 @@ def _prep_c2_kernel(npair, x_ref, xn_ref, u_ref, yref_ref,
 
     for j in range(npair):
         e, o = 2 * j, 2 * j + 1
-        A0, B0, x1p = _vde_stage(p, dt, dtype, bshape, eye,
-                                 x_ref[e], u_ref[e])
-        A1, B1, x2p = _vde_stage(p, dt, dtype, bshape, eye,
-                                 x_ref[o], u_ref[o])
+        if "vde" in ablate:
+            A0 = eye + 0.0 * x_ref[e][None]
+            A1 = eye + 0.0 * x_ref[o][None]
+            B0 = 0.0 * x_ref[e][:, None] * u_ref[e][None]
+            B1 = 0.0 * x_ref[o][:, None] * u_ref[o][None]
+            x1p, x2p = x_ref[e], x_ref[o]
+        else:
+            A0, B0, x1p = _vde_stage(p, dt, dtype, bshape, eye,
+                                     x_ref[e], u_ref[e])
+            A1, B1, x2p = _vde_stage(p, dt, dtype, bshape, eye,
+                                     x_ref[o], u_ref[o])
         c0 = x1p - xn_ref[e]
         c1 = x2p - xn_ref[o]
         qx0 = qd * (x_ref[e] - yref_ref[e][:NX])
@@ -289,20 +301,33 @@ def _prep_c2_kernel(npair, x_ref, xn_ref, u_ref, yref_ref,
         ru1 = rd_ref[:] * (u_ref[o] - yref_ref[o][NX:])
 
         # condensed dynamics (cf. condensed_kernels._condense2_kernel)
-        Ab_out[j] = _mm(A1, A0, NX, NX, NX)
-        Bb_out[j] = jnp.concatenate([_mm(A1, B0, NX, NX, NU), B1], axis=1)
-        cb_out[j] = _mv(A1, c0, NX, NX) + c1
+        if "cond" in ablate:
+            Ab_out[j] = A1
+            Bb_out[j] = jnp.concatenate([B0, B1], axis=1)
+            cb_out[j] = c1
+        else:
+            Ab_out[j] = _mm(A1, A0, NX, NX, NX)
+            Bb_out[j] = jnp.concatenate([_mm(A1, B0, NX, NX, NU), B1],
+                                        axis=1)
+            cb_out[j] = _mv(A1, c0, NX, NX) + c1
 
         # condensed cost (diagonal stage cost q — the rti_batched path)
-        qA = qd[:, None] * A0
-        qB = qd[:, None] * B0
-        Qb_out[j] = _add_diag(_mtm(A0, qA, NX, NX, NX), qd, NX)
-        S1T_out[j] = _mtm(B0, qA, NX, NU, NX)
-        R00_out[j] = _mtm(B0, qB, NX, NU, NU)
-        h = qd * c0 + qx1
-        qb_out[j] = qx0 + _mtv(A0, h, NX, NX)
-        rb_out[j] = jnp.concatenate([ru0 + _mtv(B0, h, NX, NU), ru1],
-                                    axis=0)
+        if "cost" in ablate:
+            Qb_out[j] = A0
+            S1T_out[j] = jnp.swapaxes(B0, 0, 1)
+            R00_out[j] = jnp.swapaxes(B0, 0, 1)[:, :NU]
+            qb_out[j] = qx0
+            rb_out[j] = jnp.concatenate([ru0, ru1], axis=0)
+        else:
+            qA = qd[:, None] * A0
+            qB = qd[:, None] * B0
+            Qb_out[j] = _add_diag(_mtm(A0, qA, NX, NX, NX), qd, NX)
+            S1T_out[j] = _mtm(B0, qA, NX, NU, NX)
+            R00_out[j] = _mtm(B0, qB, NX, NU, NU)
+            h = qd * c0 + qx1
+            qb_out[j] = qx0 + _mtv(A0, h, NX, NX)
+            rb_out[j] = jnp.concatenate([ru0 + _mtv(B0, h, NX, NU), ru1],
+                                        axis=0)
 
         # expansion data (even stages only) + full-horizon c for the
         # nonlinear-residual report
@@ -318,7 +343,8 @@ def _prep_c2_kernel(npair, x_ref, xn_ref, u_ref, yref_ref,
 
 def prep_condense2(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
                    block_b: int = 128, pairs_per_step: int = 5,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   ablate: frozenset = frozenset()):
     """Fused RTI preparation + block-2 partial condensing: ONE launch from
     (x, u, yref) to the condensed QP data.
 
@@ -402,7 +428,7 @@ def prep_condense2(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
                  pair_spec((NX, NX)), pair_spec((NX, NU)),
                  stage_spec((NX,)), stage_spec((NU,)), stage_spec((NU,)))
     outs = pl.pallas_call(
-        _ft.partial(_prep_c2_kernel, np_),
+        _ft.partial(_prep_c2_kernel, np_, ablate),
         grid=(nb, ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
