@@ -296,6 +296,7 @@ def run_flight(args):
             q = np.array([120.0, 100.0, 100.0, 1e-3, 1e-3, 1e-3, 1e-3,
                           0.7, 1.0, 4.0, 1e-5, 1e-5, 10.0])
             tgt = np.zeros(13)
+            tgt[2] = 0.5              # hover_yref default setpoint
             tgt[3] = 1.0
             uss = 15.7777
             lq = float(np.sum(q * (xs - tgt) ** 2)
