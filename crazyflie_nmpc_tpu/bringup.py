@@ -573,7 +573,8 @@ def swarm_serving(n: int = 8, ticks: int = 260, base_port: int = 47090,
 
     spec = default_ocp(dtype=jnp.float32)
     targets = grid_targets(n, spacing=spacing, z=z)
-    swarm = SwarmNMPC(spec, targets, use_fused=use_fused)
+    swarm = SwarmNMPC(spec, targets, use_fused=use_fused,
+                      tick_dt=1.0 / rate_hz)
 
     with contextlib.ExitStack() as stack:
         fws = []

@@ -36,6 +36,40 @@ import numpy as np
 from crazyflie_nmpc_tpu.native.firmware_sim import FirmwareSim
 
 GRAVITY = 9.8066
+# thrust map constants (solver.outputs, acados_mpc.cpp:421-425)
+_PWM_SCALE = 0.2685
+_PWM_OFFSET = 4070.3
+
+
+def _quat_to_euler_np(q):
+    """numpy twin of models.rotations.quat_to_euler (same algebra as the
+    reference's quatern2euler, acados_mpc.cpp:384-404).  The firmware
+    sim's telemetry/controller paths run in per-vehicle THREADS at
+    10-15 ms cadence — eager JAX dispatch there contends with the main
+    thread's solver dispatch (measured: it throttled the N-vehicle
+    realtime loop), so the vehicle side is pure numpy."""
+    qw, qx, qy, qz = q
+    r11 = 2 * (qw * qw + qx * qx) - 1
+    r21 = 2 * (qx * qy - qw * qz)
+    r31 = 2 * (qx * qz + qw * qy)
+    r32 = 2 * (qy * qz - qw * qx)
+    r33 = 2 * (qw * qw + qz * qz) - 1
+    return np.array([math.atan2(r32, r33),
+                     -math.asin(min(max(r31, -1.0), 1.0)),
+                     math.atan2(r21, r11)])
+
+
+def _rotmat_body_to_earth_np(q):
+    """numpy twin of models.rotations.rotmat_body_to_earth."""
+    qw, qx, qy, qz = q
+    s = np.array([
+        [2 * (qw * qw + qx * qx) - 1, 2 * (qx * qy + qw * qz),
+         2 * (qx * qz - qw * qy)],
+        [2 * (qx * qy - qw * qz), 2 * (qw * qw + qy * qy) - 1,
+         2 * (qy * qz + qw * qx)],
+        [2 * (qx * qz + qw * qy), 2 * (qy * qz - qw * qx),
+         2 * (qw * qw + qz * qz) - 1]])
+    return s.T
 
 
 @functools.lru_cache(maxsize=None)
@@ -209,17 +243,13 @@ class FlyingFirmwareSim(FirmwareSim):
     # ---- telemetry ------------------------------------------------------
 
     def _log_value(self, name: str) -> float:
-        from crazyflie_nmpc_tpu.models import rotations as rot
-
         x = self.x
         if name.startswith("stateEstimate."):
             return float(x["xyz".index(name[-1])])
         if name.startswith("gyro."):
             return float(math.degrees(x[10 + "xyz".index(name[-1])]))
         if name.startswith("stabilizer."):
-            with self._jx.default_device(self._cpu):
-                eu = np.asarray(rot.quat_to_euler(
-                    x[3:7].astype(np.float32)))
+            eu = _quat_to_euler_np(x[3:7])
             return float(math.degrees(
                 eu[["roll", "pitch", "yaw"].index(name.split(".")[1])]))
         if name.startswith("motor.m"):
@@ -283,11 +313,7 @@ class FlyingFirmwareSim(FirmwareSim):
             self.flying = False
 
     def _yaw(self) -> float:
-        from crazyflie_nmpc_tpu.models import rotations as rot
-        with self._jx.default_device(self._cpu):
-            eu = np.asarray(rot.quat_to_euler(
-                self.x[3:7].astype(np.float32)))
-        return -float(eu[2])           # body-axis yaw (rotations note)
+        return -float(_quat_to_euler_np(self.x[3:7])[2])  # body-axis yaw
 
     # ---- executor -------------------------------------------------------
 
@@ -330,13 +356,8 @@ class FlyingFirmwareSim(FirmwareSim):
         from the thrust axis + yaw (the uav_trajectory.py:70-84 frame
         construction); thrust = m acc_cmd . z_body through the
         krpm2pwm map the cascade inverts (solver.outputs)."""
-        from crazyflie_nmpc_tpu.models import rotations as rot
-        from crazyflie_nmpc_tpu.solver.outputs import krpm2pwm
-
         x = self.x
-        q = x[3:7].astype(np.float32)
-        with self._jx.default_device(self._cpu):
-            R = np.asarray(rot.rotmat_body_to_earth(q), np.float64)
+        R = _rotmat_body_to_earth_np(x[3:7])
         vel_world = R @ x[7:10]
 
         acc_cmd = (ref["acc"] + self.kp_pos * (ref["pos"] - x[0:3])
@@ -354,17 +375,14 @@ class FlyingFirmwareSim(FirmwareSim):
         qd = np.array([qw, (Rd[2, 1] - Rd[1, 2]) / (4 * qw),
                        (Rd[0, 2] - Rd[2, 0]) / (4 * qw),
                        (Rd[1, 0] - Rd[0, 1]) / (4 * qw)])
-        with self._jx.default_device(self._cpu):
-            eu_d = np.asarray(rot.quat_to_euler(qd.astype(np.float32)),
-                              np.float64)
+        eu_d = _quat_to_euler_np(qd)
         alpha_des, beta_des = -eu_d[0], -eu_d[1]
 
         # thrust along the CURRENT body z (geometric-controller projection)
         f_acc = max(float(acc_cmd @ R[:, 2]), 0.5)
         w_cmd = math.sqrt(self.quad_params.mq * f_acc
                           / (4.0 * self.quad_params.Ct))
-        with self._jx.default_device(self._cpu):
-            pwm = float(krpm2pwm(w_cmd))
+        pwm = (w_cmd * 1000.0 - _PWM_OFFSET) / _PWM_SCALE
 
         yaw_err = ref["yaw"] - self._yaw()
         yaw_err = (yaw_err + math.pi) % (2 * math.pi) - math.pi

@@ -197,7 +197,7 @@ def _ju_dense(Ju_rows, dtype, bshape):
     ])
 
 
-def _prep_kernel(ns, x_ref, xn_ref, u_ref, yref_ref,
+def _prep_kernel(ns, vde_order, x_ref, xn_ref, u_ref, yref_ref,
                  qd_ref, rd_ref, lbu_ref, ubu_ref, p_ref,
                  A_out, B_out, c_out, qx_out, ru_out, lb_out, ub_out):
     p = p_ref[:]
@@ -208,13 +208,14 @@ def _prep_kernel(ns, x_ref, xn_ref, u_ref, yref_ref,
     eshape = (NX, NX) + (1,) * len(bshape)
     eye = (jax.lax.broadcasted_iota(jnp.int32, eshape, 0)
            == jax.lax.broadcasted_iota(jnp.int32, eshape, 1)).astype(dtype)
+    vde = _vde_stage if vde_order == 4 else _vde_stage_o2
 
     for j in range(ns):
         x = x_ref[j]          # (13, B)
         u = u_ref[j]          # (4, B)
 
         # ---- RK4 with the closed-form matrix VDE (sparse Jacobians)
-        A, Bm, x_next = _vde_stage(p, dt, dtype, bshape, eye, x, u)
+        A, Bm, x_next = vde(p, dt, dtype, bshape, eye, x, u)
 
         # ---- QP assembly (diagonal LLS cost, cf. rti_step_batched)
         A_out[j] = A
@@ -224,6 +225,40 @@ def _prep_kernel(ns, x_ref, xn_ref, u_ref, yref_ref,
         ru_out[j] = rd_ref[:] * (u - yref_ref[j][NX:])
         lb_out[j] = lbu_ref[:] - u
         ub_out[j] = ubu_ref[:] - u
+
+
+def _vde_stage_o2(p, dt, dtype, bshape, eye, x, u):
+    """Reduced-order sensitivity variant (opt-in, `vde_order=2`): the
+    STATE propagates through the exact ERK4 (x_next and hence the
+    defect c are unchanged — the converged trajectory is the same),
+    but A/B come from a 2nd-order midpoint expansion
+
+        A ~= I + dt J(x2) + dt^2/2 J(x2)^2
+        B ~= dt (G + dt/2 J(x2) G)
+
+    instead of the full matrix VDE — 1 Jacobian evaluation + 2 sparse
+    products instead of 4 + 6.  This is an INEXACT-Jacobian Gauss-
+    Newton: each tick's QP (and so its control) shifts by the O(dt^3)
+    sensitivity truncation; adjudication (throughput / oracle parity /
+    flight divergence) in tools/vde_order_sol.py and docs/PERF.md —
+    the fixed-cost SoL study named the VDE arithmetic as 56-64% of the
+    prep launch, the single largest remaining fixed-cost term."""
+    pi = _pinv(p)
+    k1 = jnp.stack(_dyn_rows(p, x, u, pi))
+    x2 = x + 0.5 * dt * k1
+    k2 = jnp.stack(_dyn_rows(p, x2, u, pi))
+    x3 = x + 0.5 * dt * k2
+    k3 = jnp.stack(_dyn_rows(p, x3, u, pi))
+    x4 = x + dt * k3
+    k4 = jnp.stack(_dyn_rows(p, x4, u, pi))
+    x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    J2 = _jx_entries(p, x2, pi)
+    J2d = _jx_dense(J2, dtype, bshape)
+    A = eye + dt * J2d + (dt * dt / 2.0) * _jx_mul(J2, J2d)
+    G = _ju_dense(_ju_rows(p, u, pi), dtype, bshape)
+    Bm = dt * (G + (dt / 2.0) * _jx_mul(J2, G))
+    return A, Bm, x_next
 
 
 def _vde_stage(p, dt, dtype, bshape, eye, x, u):
@@ -259,7 +294,8 @@ def _vde_stage(p, dt, dtype, bshape, eye, x, u):
     return A, Bm, x_next
 
 
-def _prep_c2_kernel(npair, ablate, x_ref, xn_ref, u_ref, yref_ref,
+def _prep_c2_kernel(npair, ablate, vde_order, x_ref, xn_ref, u_ref,
+                    yref_ref,
                     qd_ref, rd_ref, lbu_ref, ubu_ref, p_ref,
                     Ab_out, Bb_out, cb_out, Qb_out, S1T_out, R00_out,
                     qb_out, rb_out, Ae_out, Be_out, c_out, lb_out, ub_out):
@@ -279,6 +315,7 @@ def _prep_c2_kernel(npair, ablate, x_ref, xn_ref, u_ref, yref_ref,
     eye = (jax.lax.broadcasted_iota(jnp.int32, eshape, 0)
            == jax.lax.broadcasted_iota(jnp.int32, eshape, 1)).astype(dtype)
     qd = qd_ref[:]
+    vde = _vde_stage if vde_order == 4 else _vde_stage_o2
 
     for j in range(npair):
         e, o = 2 * j, 2 * j + 1
@@ -289,10 +326,10 @@ def _prep_c2_kernel(npair, ablate, x_ref, xn_ref, u_ref, yref_ref,
             B1 = 0.0 * x_ref[o][:, None] * u_ref[o][None]
             x1p, x2p = x_ref[e], x_ref[o]
         else:
-            A0, B0, x1p = _vde_stage(p, dt, dtype, bshape, eye,
-                                     x_ref[e], u_ref[e])
-            A1, B1, x2p = _vde_stage(p, dt, dtype, bshape, eye,
-                                     x_ref[o], u_ref[o])
+            A0, B0, x1p = vde(p, dt, dtype, bshape, eye,
+                              x_ref[e], u_ref[e])
+            A1, B1, x2p = vde(p, dt, dtype, bshape, eye,
+                              x_ref[o], u_ref[o])
         c0 = x1p - xn_ref[e]
         c1 = x2p - xn_ref[o]
         qx0 = qd * (x_ref[e] - yref_ref[e][:NX])
@@ -313,9 +350,12 @@ def _prep_c2_kernel(npair, ablate, x_ref, xn_ref, u_ref, yref_ref,
 
         # condensed cost (diagonal stage cost q — the rti_batched path)
         if "cost" in ablate:
+            # substitutes must be cheap SLICES, not transposes — a
+            # (13,4,B)->(4,13,B) swapaxes costs a Mosaic relayout that
+            # dwarfs the ops being deleted (measured: -75%)
             Qb_out[j] = A0
-            S1T_out[j] = jnp.swapaxes(B0, 0, 1)
-            R00_out[j] = jnp.swapaxes(B0, 0, 1)[:, :NU]
+            S1T_out[j] = A0[:NU]
+            R00_out[j] = A0[:NU, :NU]
             qb_out[j] = qx0
             rb_out[j] = jnp.concatenate([ru0, ru1], axis=0)
         else:
@@ -344,7 +384,8 @@ def _prep_c2_kernel(npair, ablate, x_ref, xn_ref, u_ref, yref_ref,
 def prep_condense2(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
                    block_b: int = 128, pairs_per_step: int = 5,
                    interpret: bool = False,
-                   ablate: frozenset = frozenset()):
+                   ablate: frozenset = frozenset(),
+                   vde_order: int = 4):
     """Fused RTI preparation + block-2 partial condensing: ONE launch from
     (x, u, yref) to the condensed QP data.
 
@@ -428,7 +469,7 @@ def prep_condense2(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
                  pair_spec((NX, NX)), pair_spec((NX, NU)),
                  stage_spec((NX,)), stage_spec((NU,)), stage_spec((NU,)))
     outs = pl.pallas_call(
-        _ft.partial(_prep_c2_kernel, np_, ablate),
+        _ft.partial(_prep_c2_kernel, np_, ablate, vde_order),
         grid=(nb, ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -443,7 +484,8 @@ def prep_condense2(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
 
 def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
                block_b: int = 128, stages_per_step: int = 5,
-               interpret: bool = False, batch_rows: int | None = None):
+               interpret: bool = False, batch_rows: int | None = None,
+               vde_order: int = 4):
     """Fused preparation launch.
 
     Args (batch-last):
@@ -518,7 +560,7 @@ def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
     out_specs = (spec((NX, NX)), spec((NX, NU)), spec((NX,)), spec((NX,)),
                  spec((NU,)), spec((NU,)), spec((NU,)))
     return pl.pallas_call(
-        _ft.partial(_prep_kernel, ns),
+        _ft.partial(_prep_kernel, ns, vde_order),
         grid=(nb, ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -579,7 +621,7 @@ def _prep_sweep_2d(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
     out_specs = (spec((NX, NX)), spec((NX, NU)), spec((NX,)), spec((NX,)),
                  spec((NU,)), spec((NU,)), spec((NU,)))
     outs = pl.pallas_call(
-        _ft.partial(_prep_kernel, ns),
+        _ft.partial(_prep_kernel, ns, vde_order),
         grid=(nb, ngrid),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -76,7 +76,16 @@ class SwarmNMPC:
                  delay_steps: int = 1, use_fused: Optional[bool] = None,
                  block_b: int = 128, stages_per_step: int = 25,
                  gains: AttitudeGains = AttitudeGains(),
-                 predict_substeps: int = 4):
+                 predict_substeps: int = 4,
+                 tick_dt: Optional[float] = None):
+        """tick_dt: the REAL interval between telemetry samples (= the
+        serving period).  The estimator's velocity differentiation and
+        the delay predictor's integration step must use the actual
+        sample spacing, not the model's 15 ms stage dt — at the
+        reference's 66.6 Hz they coincide, but a floor-derated serving
+        rate with the default dt overestimates velocity by
+        period/0.015x and destabilizes the loop (measured in the
+        realtime swarm test).  None = spec.dt (the 66.6 Hz contract)."""
         targets = np.asarray(targets, np.float64)
         self.spec = spec
         self.batch = B = targets.shape[0]
@@ -102,7 +111,12 @@ class SwarmNMPC:
         self._yref = jnp.stack(yrefs)            # (lanes, N, ny)
         self._yref_e = jnp.stack(yref_es)        # (lanes, nx)
 
-        dt, params = spec.dt, spec.params
+        params = spec.params
+        dt = float(tick_dt) if tick_dt is not None else float(spec.dt)
+        self.tick_dt = dt
+        # keep the cascade-prediction substep near the 1.5 ms the
+        # envelope study validated, whatever the tick period
+        substeps = max(predict_substeps, int(round(dt / 0.004)))
 
         def _fuse_all(est, mocap, euler_deg, gyro_deg):
             return jax.vmap(
@@ -117,7 +131,7 @@ class SwarmNMPC:
             def body(xc, _):
                 xn = jax.vmap(
                     lambda xi, ci: attitude_plant_step(
-                        params, xi, ci, dt, substeps=predict_substeps,
+                        params, xi, ci, dt, substeps=substeps,
                         gains=gains)[0]
                 )(xc, cmd_prev)
                 return xn, None
@@ -285,18 +299,22 @@ class _TelemetryPlane:
 def serve_swarm(spec: OCPSpec, server, vids, fws, swarm: SwarmNMPC,
                 ticks: int, rate_hz: float = 66.6,
                 lockstep: bool = True,
-                wire_settle_s: float = 0.004) -> SwarmReport:
+                wire_settle_s: float = 0.5) -> SwarmReport:
     """Fly B wire vehicles from ONE batched device solve for `ticks`.
 
     server/vids/fws: a LinkServer with the B registered vehicles and
     their `CascadeFirmwareSim` endpoints (same order as swarm.targets).
 
     lockstep=True advances each vehicle's physics exactly one period per
-    host tick via manual poll() — deterministic and sleep-free (the wire
-    is still real UDP both ways; `wire_settle_s` bounds the wait for the
-    link threads to surface freshly streamed telemetry).  lockstep=False
-    expects the endpoints to be serving real time and paces the host
-    loop with a TickScheduler.
+    host tick via manual poll() — deterministic (the wire is still real
+    UDP both ways).  Each tick WAITS until every vehicle's current-tick
+    telemetry has crossed the link (`wire_settle_s` bounds that wait —
+    generous, because lockstep correctness must not depend on host
+    speed: with a tight bound a contended host consumes stale rows and
+    the estimator's velocity differentiation destabilizes on the
+    position jumps).  The typical settle is well under a millisecond.
+    lockstep=False expects the endpoints to be serving real time and
+    paces the host loop with a TickScheduler.
     """
     from crazyflie_nmpc_tpu.runtime.serving import TickScheduler
 
@@ -321,14 +339,18 @@ def serve_swarm(spec: OCPSpec, server, vids, fws, swarm: SwarmNMPC,
 
     for k in range(ticks):
         if lockstep:
-            # advance every vehicle one tick period (physics + stream)
+            # advance every vehicle one tick period (physics + stream),
+            # then wait until THIS tick's rows have crossed the link
             for fw in fws:
                 fw.poll(period_ms)
             deadline = time.perf_counter() + wire_settle_s
-            while time.perf_counter() < deadline:
+            while True:
                 plane.drain(k)
-                if (plane.last_update >= max(k - 1, 0)).all():
+                if (plane.last_update >= k).all():
                     break
+                if time.perf_counter() >= deadline:
+                    break
+                time.sleep(0.0002)    # yield to the link threads
         else:
             sched.wait_for_tick(k)
 

@@ -49,7 +49,8 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
                      condense: int | None = None,
                      layout: str = "batch_first",
                      windowed: bool | None = None,
-                     fused_iter: bool = False):
+                     fused_iter: bool = False,
+                     prep_vde_order: int = 4):
     """One RTI iteration for a batch of problems.
 
     Args:
@@ -61,6 +62,10 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
       condense: None (default) selects block-2 partial condensing whenever
         the horizon is even — the production fast path (+19%, exact); pass
         1 to force the uncondensed kernels.
+      prep_vde_order: 4 (default) = exact ERK4 matrix VDE sensitivities;
+        2 = midpoint 2nd-order sensitivities on the exact ERK4 state
+        propagation (inexact-Jacobian Gauss-Newton — opt-in, adjudicated
+        in docs/PERF.md; fused-prep path only).
     Returns (RTIState', RTIOutput) in the same layout as the input
     (batch_last: u0/u1 are (nu,B), plans are stage-major batch-last).
     """
@@ -141,7 +146,7 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
             cnd, Ae, Be, c_k, lb_k, ub_k = pk.prep_condense2(
                 *prep_args, block_b=block_b,
                 pairs_per_step=prep_stages_per_step,
-                interpret=interpret)
+                interpret=interpret, vde_order=prep_vde_order)
             qp = dict(
                 c=c_k, lb=lb_k, ub=ub_k,
                 c2Ae=Ae, c2Be=Be,
@@ -151,7 +156,7 @@ def rti_step_batched(spec: OCPSpec, states: RTIState, x0s: jax.Array,
             A_k, B_k, c_k, qx_k, ru_k, lb_k, ub_k = pk.prep_sweep(
                 *prep_args, block_b=block_b,
                 stages_per_step=prep_stages_per_step, interpret=interpret,
-                batch_rows=prep_batch_rows)
+                batch_rows=prep_batch_rows, vde_order=prep_vde_order)
             qp = dict(
                 A=A_k, B=B_k, c=c_k, qx=qx_k, ru=ru_k, lb=lb_k, ub=ub_k,
                 qxx=jnp.broadcast_to(q_diag[None, :, None], (N, nx, B)),

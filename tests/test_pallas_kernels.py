@@ -280,6 +280,60 @@ def test_prep_kernel_matches_xla_path():
                                np.asarray(blm(spec.ubu - u)), rtol=1e-6)
 
 
+def test_prep_vde_order2_truncation_is_third_order():
+    """vde_order=2 (midpoint sensitivities on the exact ERK4 state):
+    the state/defect outputs are IDENTICAL to the exact path, and the
+    A/B truncation error vs the exact matrix VDE shrinks ~8x when dt
+    halves (3rd-order), pinning that the o2 path implements the
+    documented expansion and nothing else."""
+    from crazyflie_nmpc_tpu.models import hover_state
+    from crazyflie_nmpc_tpu.ops.pallas import prep_kernel as pk
+    from crazyflie_nmpc_tpu.solver import default_ocp, hover_yref, init_rti
+
+    spec = default_ocp(N=10, dtype=jnp.float32)
+    yref, _ = hover_yref(spec)
+    key = jax.random.PRNGKey(13)
+    x0s = (hover_state(spec.params, dtype=jnp.float32)[None, :]
+           + 0.05 * jax.random.normal(key, (B, 13), jnp.float32))
+    states = jax.vmap(lambda x: init_rti(spec, x))(x0s)
+    u = states.u_traj + 0.5 * jax.random.normal(
+        jax.random.fold_in(key, 1), states.u_traj.shape, jnp.float32)
+    blm = lambda z: jnp.moveaxis(z, 0, -1)
+    q_diag = jnp.diagonal(spec.cost.W)[:13]
+    r_diag = jnp.diagonal(spec.cost.W)[13:]
+    tile = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, jnp.float32)[:, None], (len(v), B))
+    par = spec.params
+
+    def run(dt, order):
+        params_tile = jnp.broadcast_to(jnp.array(
+            [par.g0, par.mq, par.Ixx, par.Iyy, par.Izz, par.Cd, par.Ct,
+             par.l, dt], jnp.float32)[:, None], (9, B))
+        return pk.prep_sweep(
+            blm(states.x_traj), blm(u),
+            jnp.broadcast_to(yref[:, :, None], yref.shape + (B,)),
+            tile(q_diag), tile(r_diag),
+            jnp.broadcast_to(spec.lbu[:, None], (4, B)),
+            jnp.broadcast_to(spec.ubu[:, None], (4, B)),
+            params_tile, block_b=B, stages_per_step=5,
+            interpret=True, vde_order=order)
+
+    errs = {}
+    for dt in (0.015, 0.0075):
+        A4, B4, c4, *_ = run(dt, 4)
+        A2, B2, c2, *_ = run(dt, 2)
+        # exact state propagation shared: defects identical
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c4),
+                                   rtol=0, atol=1e-7)
+        errs[dt] = (float(jnp.max(jnp.abs(A2 - A4))),
+                    float(jnp.max(jnp.abs(B2 - B4))))
+    ra = errs[0.015][0] / errs[0.0075][0]
+    rb = errs[0.015][1] / errs[0.0075][1]
+    assert errs[0.015][0] > 1e-6          # above f32 noise: a real signal
+    assert 4.5 < ra < 14.0, (errs, ra)    # ~8x = 3rd-order truncation
+    assert 4.5 < rb < 14.0, (errs, rb)
+
+
 def test_prep_kernel_2d_batch_matches_1d():
     """The 2D-batch-tile prep variant (batch as (8, 128) VPU tiles — the
     TPU fast path for B % 1024 == 0) is the same arithmetic per lane as

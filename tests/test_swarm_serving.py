@@ -31,6 +31,36 @@ def test_grid_targets_formation():
     assert np.isclose(t[1, 0] - t[0, 0], 0.5)
 
 
+def test_numpy_rotation_twins_match_jax():
+    """The firmware sim's pure-numpy rotation/thrust helpers (no eager
+    JAX in vehicle threads) match models.rotations / solver.outputs."""
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu.models import rotations as rot
+    from crazyflie_nmpc_tpu.native.hl_executor import (
+        _PWM_OFFSET,
+        _PWM_SCALE,
+        _quat_to_euler_np,
+        _rotmat_body_to_earth_np,
+    )
+    from crazyflie_nmpc_tpu.solver.outputs import krpm2pwm
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        np.testing.assert_allclose(
+            _quat_to_euler_np(q),
+            np.asarray(rot.quat_to_euler(jnp.asarray(q))), atol=1e-7)
+        np.testing.assert_allclose(
+            _rotmat_body_to_earth_np(q),
+            np.asarray(rot.rotmat_body_to_earth(jnp.asarray(q))),
+            atol=1e-7)
+    w = 17.3
+    np.testing.assert_allclose((w * 1e3 - _PWM_OFFSET) / _PWM_SCALE,
+                               float(krpm2pwm(w)), rtol=1e-9)
+
+
 def test_cascade_sim_arms_on_thrust():
     """CascadeFirmwareSim: motors stay off below the arm threshold (the
     vehicle-side thrust-lock gate), fly above it."""
@@ -75,6 +105,61 @@ def test_swarm_converges_over_wire():
     misses = rep.deadline_misses(budget_s=rep.period_s)
     assert misses.shape == (N_VEHICLES,)
     assert np.isfinite(rep.latency_s).all()
+
+
+def test_swarm_realtime_discipline():
+    """lockstep=False: endpoints serve real time, the host loop runs on
+    the TickScheduler (absolute-time schedule).  This pins the
+    DISCIPLINE — schedule kept, per-vehicle accounting populated,
+    telemetry live, vehicles flying under the streamed commands — with
+    a lighter OCP (N=20, iters=4) so a contended 2-vCPU CI host can
+    hold the 20 Hz period.  Closed-loop CONVERGENCE through the wire is
+    pinned by the lockstep tests at the 66.6 Hz design rate (the
+    cmd_vel architecture is unstable when its 15 ms command is held
+    ~200 ms, matching the delay-envelope study — off-design-rate
+    convergence is deliberately NOT asserted here)."""
+    import contextlib
+
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import bringup, native
+    from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+    from crazyflie_nmpc_tpu.runtime.swarm import SwarmNMPC, serve_swarm
+    from crazyflie_nmpc_tpu.solver import default_ocp
+
+    bringup._jax_cpu()
+    n = 2
+    rate_hz = 20.0
+    spec = default_ocp(N=20, tf=0.3, dtype=jnp.float32)
+    targets = np.array([[0.0, 0.0, 0.4], [0.6, 0.0, 0.4]])
+    swarm = SwarmNMPC(spec, targets, use_fused=False,
+                      tick_dt=1.0 / rate_hz,
+                      ipm_config=IPMConfig(iters=4))
+    with contextlib.ExitStack() as stack:
+        fws = []
+        for i in range(n):
+            fw = native.CascadeFirmwareSim(
+                BASE_PORT + 40 + 2 * i,
+                x0=(targets[i, 0], targets[i, 1], 0.03))
+            stack.enter_context(fw)
+            fw.serve()
+            fws.append(fw)
+        server = stack.enter_context(native.LinkServer())
+        for i in range(n):
+            server.add_vehicle(i + 1, "127.0.0.1", BASE_PORT + 40 + 2 * i,
+                               BASE_PORT + 40 + 2 * i + 1)
+        rep = serve_swarm(spec, server, [1, 2], fws, swarm, ticks=80,
+                          rate_hz=rate_hz, lockstep=False)
+    assert rep.latency_s.shape == (80, n)
+    assert np.isfinite(rep.latency_s).all()
+    # every vehicle armed and FLEW under the streamed commands
+    assert (rep.positions[:, :, 2].max(axis=0) > 0.2).all(), \
+        rep.positions[:, :, 2].max(axis=0)
+    # telemetry stayed live in real time
+    assert (rep.staleness[-20:] <= 3).mean() > 0.8
+    # the absolute-time schedule was mostly held (slips are counted,
+    # not forbidden — CI hosts jitter)
+    assert rep.schedule_slips < 40
 
 
 def test_swarm_vehicles_track_independent_targets():
