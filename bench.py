@@ -182,20 +182,23 @@ def main():
         # oracle-certified (reported alongside, never the headline)
         cfg_z = ipm.IPMConfig(iters=8, compress_gains=True,
                               compress_ab=True)
-        states_z, x0s_z = make_batch(4096)
+        compressed = {}
+        for Bz in (2048, 4096):
+            states_z, x0s_z = make_batch(Bz)
 
-        @jax.jit
-        def step_z(states, x0s):
-            new_states, outs = rti_step_batched(
-                spec, states, x0s, yref, yref_e, cfg_z, block_b=128,
-                stages_per_step=25, layout="batch_last",
-                prep_vde_order=2)
-            return new_states, outs.u0
+            @jax.jit
+            def step_z(states, x0s):
+                new_states, outs = rti_step_batched(
+                    spec, states, x0s, yref, yref_e, cfg_z, block_b=128,
+                    stages_per_step=25, layout="batch_last",
+                    prep_vde_order=2)
+                return new_states, outs.u0
 
-        dt = measure_chained(step_z, states_z, x0s_z, rtt)
-        compressed = round(4096 / dt, 1)
-        log(f"throughput-mode operating point (bf16 streams + o2 VDE): "
-            f"{dt * 1e3:.2f} ms/step -> {4096 / dt:,.0f} solves/s")
+            dt = measure_chained(step_z, states_z, x0s_z, rtt)
+            compressed[str(Bz)] = round(Bz / dt, 1)
+            log(f"throughput-mode operating point (bf16 streams + o2 "
+                f"VDE, B={Bz}): {dt * 1e3:.2f} ms/step -> "
+                f"{Bz / dt:,.0f} solves/s")
         cfg_g = ipm.IPMConfig(iters=6, gondzio_correctors=1)
         step_g = make_step(block_b=128, interpret=False, ipm_cfg=cfg_g)
         states_g, x0s_g = make_batch(4096)

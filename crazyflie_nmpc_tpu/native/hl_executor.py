@@ -227,6 +227,11 @@ class FlyingFirmwareSim(FirmwareSim):
         self.seg_is_landing = False
         self.flown = []                 # (t_s, x(13)) history while flying
         self._cmd_idx = 0
+        # HL-commander group membership (the SetGroupMask service,
+        # crazyflie_server.cpp:911-916): a command addressed to group
+        # g != 0 executes only on vehicles whose mask has bit g set;
+        # g == 0 addresses everyone (the firmware broadcast semantics)
+        self.group_mask = 0
 
         self._jx = jax
         # vehicle physics always runs on the HOST backend: in a process
@@ -271,6 +276,14 @@ class FlyingFirmwareSim(FirmwareSim):
         pos = self.x[0:3].copy()
         yaw = self._yaw()
         name = c["cmd"]
+        if name == "set_group_mask":
+            self.group_mask = int(c["group"])
+            return
+        # group filter (firmware semantics): group 0 = everyone; a
+        # nonzero group executes only if this vehicle is a member
+        g = int(c.get("group", 0))
+        if g != 0 and not (g & self.group_mask):
+            return
         if name == "takeoff":
             tgt = np.array([pos[0], pos[1], c["height"]])
             tyaw = yaw if c.get("use_current_yaw", True) else c.get("yaw",

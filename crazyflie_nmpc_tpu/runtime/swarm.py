@@ -365,8 +365,13 @@ def serve_swarm(spec: OCPSpec, server, vids, fws, swarm: SwarmNMPC,
             latency[k, b] = time.perf_counter() - t_state
 
     # settle the wire so the last setpoints land before teardown
-    for fw in fws:
-        fw.poll(1)
+    # (lockstep only: in realtime mode the serve threads are pumping and
+    # a concurrent manual poll would race them on the socket)
+    if lockstep:
+        for fw in fws:
+            fw.poll(1)
+    else:
+        time.sleep(0.02)
     final_err = np.linalg.norm(
         np.stack([fw.x[:3] for fw in fws]) - swarm.targets, axis=1)
     return SwarmReport(

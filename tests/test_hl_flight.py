@@ -124,6 +124,62 @@ def test_figure8_wire_mission_flies():
         assert fw.x[2] < 0.06
 
 
+def test_grouped_hl_mission_multi_vehicle():
+    """Group-mask semantics (SetGroupMask service + the group byte on
+    every HL command, crazyflie_server.cpp:911-916): a broadcast
+    takeoff addressed to group 1 lifts only the group-1 members; the
+    group-2 vehicle stays on the ground until ITS group is addressed —
+    the firmware behavior a multi-drone HL deployment (crazyswarm
+    style) relies on."""
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        fws = [stack.enter_context(native.FlyingFirmwareSim(47330 + 2 * i))
+               for i in range(3)]
+        server = stack.enter_context(native.LinkServer())
+        for i in range(3):
+            server.add_vehicle(i + 1, "127.0.0.1", 47330 + 2 * i,
+                               47330 + 2 * i + 1)
+
+        def pump(ms, real_s=0.25):
+            """Deliver queued wire traffic + advance sim time."""
+            deadline = time.time() + real_s
+            while time.time() < deadline:
+                time.sleep(0.005)
+            for fw in fws:
+                for _ in range(ms // 15):
+                    fw.poll(15)
+
+        for vid, mask in ((1, 0b01), (2, 0b01), (3, 0b10)):
+            assert server.set_group_mask(vid, mask)
+        pump(30)
+        assert [fw.group_mask for fw in fws] == [1, 1, 2]
+
+        # broadcast to group 1: every vehicle RECEIVES it, only members fly
+        for vid in (1, 2, 3):
+            server.takeoff(vid, height=0.4, duration=1.5, group_mask=1)
+        pump(2200)
+        assert fws[0].flying and fws[1].flying
+        assert not fws[2].flying and fws[2].x[2] < 0.05
+        assert abs(fws[0].x[2] - 0.4) < 0.03
+        assert abs(fws[1].x[2] - 0.4) < 0.03
+
+        # now address group 2: the third vehicle lifts, group 1 unaffected
+        for vid in (1, 2, 3):
+            server.takeoff(vid, height=0.3, duration=1.5, group_mask=2)
+        pump(2200)
+        assert fws[2].flying
+        assert abs(fws[2].x[2] - 0.3) < 0.03
+        assert abs(fws[0].x[2] - 0.4) < 0.03   # group 1 kept its height
+
+        # land group 1 only
+        for vid in (1, 2, 3):
+            server.land(vid, height=0.0, duration=1.5, group_mask=1)
+        pump(2400)
+        assert not fws[0].flying and not fws[1].flying
+        assert fws[2].flying and abs(fws[2].x[2] - 0.3) < 0.03
+
+
 def test_poly4d_timescale_and_reverse():
     """_Poly4D honors the firmware's timescale (time-warp: f(t/ts),
     velocities 1/ts) and reversed semantics (p(T - t))."""
