@@ -45,7 +45,7 @@ from __future__ import annotations
 import dataclasses
 import struct
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
