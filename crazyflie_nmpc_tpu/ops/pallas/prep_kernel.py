@@ -519,7 +519,7 @@ def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
     if batch_rows > 1:
         return _prep_sweep_2d(x_traj, u_traj, yref, q_diag, r_diag, lbu,
                               ubu, params, batch_rows, min(ns, 2),
-                              interpret)
+                              interpret, vde_order)
     if Btot % block_b != 0:
         raise ValueError(f"batch {Btot} must be divisible by {block_b}")
     nb = Btot // block_b
@@ -571,7 +571,8 @@ def prep_sweep(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
 
 
 def _prep_sweep_2d(x_traj, u_traj, yref, q_diag, r_diag, lbu, ubu, params,
-                   bs: int, ns: int, interpret: bool):
+                   bs: int, ns: int, interpret: bool,
+                   vde_order: int = 4):
     """2D-batch-tile variant: identical kernel body, batch as (bs, 128).
 
     All HBM arrays keep their 1D-batch shapes at the boundary — the batch
