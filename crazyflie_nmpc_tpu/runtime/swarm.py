@@ -77,7 +77,8 @@ class SwarmNMPC:
                  block_b: int = 128, stages_per_step: int = 25,
                  gains: AttitudeGains = AttitudeGains(),
                  predict_substeps: int = 4,
-                 tick_dt: Optional[float] = None):
+                 tick_dt: Optional[float] = None,
+                 interpret: bool = False):
         """tick_dt: the REAL interval between telemetry samples (= the
         serving period).  The estimator's velocity differentiation and
         the delay predictor's integration step must use the actual
@@ -141,7 +142,7 @@ class SwarmNMPC:
         if use_fused:
             kw = dict(config=ipm_config, block_b=block_b,
                       stages_per_step=stages_per_step,
-                      layout="batch_last")
+                      layout="batch_last", interpret=interpret)
 
             def _step(carry, mocap, euler_deg, gyro_deg):
                 est, states, cmd_prev = carry

@@ -107,6 +107,56 @@ def test_swarm_converges_over_wire():
     assert np.isfinite(rep.latency_s).all()
 
 
+def test_swarm_fused_path_matches_vmap():
+    """The FUSED swarm step (interpret-mode Pallas kernels, batch-last
+    layout, per-lane yref padding) produces the same commands as the
+    vmap path on identical telemetry — the wiring bench.py's TPU swarm
+    row rides, pinned without hardware (B=5 pads to 8 lanes, so the
+    padding/slicing seam is exercised too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crazyflie_nmpc_tpu import bringup
+    from crazyflie_nmpc_tpu.ops.ipm import IPMConfig
+    from crazyflie_nmpc_tpu.runtime.swarm import SwarmNMPC, grid_targets
+    from crazyflie_nmpc_tpu.solver import default_ocp
+
+    bringup._jax_cpu()
+    spec = default_ocp(dtype=jnp.float32)
+    targets = grid_targets(5, spacing=0.5, z=0.4)
+    cfg = IPMConfig(iters=2)      # interpret-mode Pallas is Python-per-op
+
+    key = jax.random.PRNGKey(7)
+    x0s = np.asarray(
+        0.05 * jax.random.normal(key, (5, 13), jnp.float32), np.float64)
+    x0s[:, :3] += targets * np.array([1.0, 1.0, 0.2])
+    x0s[:, 3] = 1.0
+    mocap = x0s[:, :3].copy()
+    euler = np.asarray(5.0 * jax.random.normal(
+        jax.random.fold_in(key, 1), (5, 3), jnp.float32), np.float64)
+    gyro = np.asarray(10.0 * jax.random.normal(
+        jax.random.fold_in(key, 2), (5, 3), jnp.float32), np.float64)
+
+    cmds = {}
+    for label, kw in (("fused", dict(use_fused=True, block_b=8,
+                                     stages_per_step=5, interpret=True)),
+                      ("vmap", dict(use_fused=False))):
+        sw = SwarmNMPC(spec, targets, ipm_config=cfg, **kw)
+        sw.reset(x0s)
+        cmd, u_apply = sw.step(mocap, euler, gyro)
+        cmds[label] = (cmd, u_apply)
+        assert cmd.shape == (5, 4) and u_apply.shape == (5, 4)
+
+    # same estimator + same QP, two solver paths: agreement to f32-
+    # rounding-amplified-by-conditioning (the pod-parity tolerance)
+    np.testing.assert_allclose(cmds["fused"][0][:, :3],
+                               cmds["vmap"][0][:, :3], atol=0.02)
+    np.testing.assert_allclose(cmds["fused"][0][:, 3],
+                               cmds["vmap"][0][:, 3], rtol=1e-3)
+    np.testing.assert_allclose(cmds["fused"][1], cmds["vmap"][1],
+                               rtol=1e-3, atol=5e-3)
+
+
 def test_swarm_realtime_discipline():
     """lockstep=False: endpoints serve real time, the host loop runs on
     the TickScheduler (absolute-time schedule).  This pins the
