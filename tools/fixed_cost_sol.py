@@ -45,7 +45,6 @@ sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from crazyflie_nmpc_tpu.utils.cache import setup_compilation_cache
 
