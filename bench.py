@@ -509,17 +509,28 @@ def swarm_over_wire(n: int = 16, ticks: int = 200, base_port: int = 48200):
                                base_port + 2 * i + 1)
         rep = serve_swarm(spec, server, vids, fws, swarm, ticks)
     s = rep.summary()
+    # the same transport-floor decomposition the serving block carries:
+    # through the tunnel the emit latency is dominated by the RTT, so
+    # the on-host estimate (p50 - swarm-shaped floor) is the number a
+    # PCIe-local deployment would see per tick
+    from crazyflie_nmpc_tpu.runtime.serving import measure_transport_floor
+
+    floor = measure_transport_floor(batch=n, n=40)
+    on_host = max(s["p50_ms"] - floor["p50_ms"], 0.0)
     out = dict(
         n_vehicles=n, ticks=ticks, solve_lanes=swarm.lanes,
         p50_ms=s["p50_ms"], p99_ms=s["p99_ms"],
         worst_vehicle_miss=s["worst_vehicle_miss"],
         stale_ticks=s["stale_ticks"],
         final_err_max_m=round(s["final_err_max_m"], 4),
-        transport_bound=bool(s["p50_ms"] > 15.0),
+        transport_floor_p50_ms=round(floor["p50_ms"], 3),
+        on_host_estimate_ms=round(on_host, 3),
+        transport_bound=bool(floor["p50_ms"] > 15.0),
     )
     log(f"[swarm] {n} vehicles x {ticks} ticks, one {swarm.lanes}-lane "
         f"launch/tick: emit p50={s['p50_ms']:.2f} ms p99={s['p99_ms']:.2f} "
-        f"ms, final err max {s['final_err_max_m']:.3f} m, "
+        f"ms (floor {floor['p50_ms']:.2f} -> on-host ~{on_host:.2f} ms), "
+        f"final err max {s['final_err_max_m']:.3f} m, "
         f"stale ticks {s['stale_ticks']}")
     return out
 
