@@ -62,14 +62,17 @@ def _kkt_residuals(qp, sol):
     res = dict(dyn=np.max(np.abs(dyn)),
                x0=np.max(np.abs(dx[0] - np.asarray(qp.dx0))))
 
-    # bound feasibility
-    viol_l = np.maximum(np.where(np.isfinite(lb), lb - du, 0.0), 0.0)
-    viol_u = np.maximum(np.where(np.isfinite(ub), du - ub, 0.0), 0.0)
+    # bound feasibility (infinite bounds masked BEFORE the arithmetic —
+    # np.where still evaluates both arms, and inf*0 raises a warning)
+    lb_f = np.where(np.isfinite(lb), lb, 0.0)
+    ub_f = np.where(np.isfinite(ub), ub, 0.0)
+    viol_l = np.maximum(np.where(np.isfinite(lb), lb_f - du, 0.0), 0.0)
+    viol_u = np.maximum(np.where(np.isfinite(ub), du - ub_f, 0.0), 0.0)
     res["bound"] = max(viol_l.max(), viol_u.max())
 
     # complementarity
-    comp_l = np.where(np.isfinite(lb), lam_l * (du - lb), 0.0)
-    comp_u = np.where(np.isfinite(ub), lam_u * (ub - du), 0.0)
+    comp_l = np.where(np.isfinite(lb), lam_l * (du - lb_f), 0.0)
+    comp_u = np.where(np.isfinite(ub), lam_u * (ub_f - du), 0.0)
     res["comp"] = max(np.abs(comp_l).max(), np.abs(comp_u).max())
     res["dual_pos"] = min(lam_l.min(), lam_u.min())
 
